@@ -1,0 +1,25 @@
+"""liverrenderer_tpu — a TPU-native differentiable renderer.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+mmigas/LiverRenderer (a Mitsuba 3 fork specialized for biophysical liver
+rendering): wavefront path tracing, volumetric transport with the layered
+liver media, learned subsurface scattering, and radiative-backprop
+differentiable rendering — built on SoA scene pytrees, jit/scan wavefront
+loops, and jax.sharding for multi-chip scaling.
+
+Facade mirrors the pieces of the `mitsuba` Python API the liver pipeline
+uses: load_dict / load_file / render / cornell_box / traverse / Bitmap-ish IO.
+"""
+
+from .scene.builder import load_dict
+from .scene.cornell import cornell_box
+from .scene.transform import Transform
+from .integrators.common import render
+from .io.image import read_image, write_image
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "load_dict", "cornell_box", "Transform", "render",
+    "read_image", "write_image",
+]

@@ -1,0 +1,318 @@
+"""Device-side ray intersection (the render hot path).
+
+Functional contract mirrors reference Scene::ray_intersect / ray_test
+(include/mitsuba/render/scene.h:79-316), replacing Embree/OptiX/kd-tree with
+two TPU strategies:
+
+* ``brute``: all lanes x all triangles in fixed-size chunks via `lax.scan` —
+  branch-free, fully vectorized, optimal for small scenes (the Cornell box,
+  the analytic liver spheres) where a BVH's gather-divergence costs more
+  than brute FLOPs.
+* ``bvh``: lockstep stack-based traversal of the flattened 2-wide BVH
+  (accel/bvh.py) in a `lax.while_loop`; every lane keeps a register stack.
+
+Both return hit (t, prim, barycentrics) which `compute_si` turns into a full
+SurfaceInteraction.  Selection is static per scene (`scene.intersector`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.types import Frame, Ray, SurfaceInteraction, INF
+from ..scene.ir import Scene, SHAPE_SPHERE
+
+TRI_CHUNK = 128
+
+
+def _moeller_trumbore(o, d, p0, e1, e2):
+    """Batched Möller-Trumbore: o,d (N,3); p0,e1,e2 (...,3) broadcastable.
+    Returns (t, u, v, hit)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - p0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, -1) * inv_det
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
+        & (u + v <= 1.0) & (t > 0.0)
+    return t, u, v, hit
+
+
+def _ray_aabb(o, inv_d, maxt, bmin, bmax):
+    """Slab test; returns entry-t and hit mask. All shapes broadcastable."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    near = jnp.max(tmin, -1)
+    far = jnp.min(tmax, -1)
+    hit = (near <= far) & (far > 0.0) & (near < maxt)
+    return jnp.maximum(near, 0.0), hit
+
+
+# ---------------------------------------------------------------------------
+# Triangle stream intersection
+# ---------------------------------------------------------------------------
+
+def _gather_tri(scene: Scene, tri_idx):
+    f = scene.faces[tri_idx]
+    p0 = scene.vertices[f[..., 0]]
+    p1 = scene.vertices[f[..., 1]]
+    p2 = scene.vertices[f[..., 2]]
+    return p0, p1 - p0, p2 - p0
+
+
+def _brute_tris(scene: Scene, ray: Ray, t_best, any_hit: bool):
+    """Chunked brute force over the global triangle stream."""
+    T = scene.n_tris
+    if T == 0:
+        N = ray.o.shape[0]
+        return t_best, jnp.full((N,), -1, jnp.int32), \
+            jnp.zeros((N,)), jnp.zeros((N,))
+    n_chunks = (T + TRI_CHUNK - 1) // TRI_CHUNK
+    Tp = n_chunks * TRI_CHUNK
+    # Pad the triangle stream once (degenerate tris never hit).
+    pad = Tp - T
+    faces = jnp.pad(scene.faces, ((0, pad), (0, 0)))
+    p0 = scene.vertices[faces[:, 0]]
+    p1 = scene.vertices[faces[:, 1]]
+    p2 = scene.vertices[faces[:, 2]]
+    valid_tri = jnp.arange(Tp) < T
+    e1 = jnp.where(valid_tri[:, None], p1 - p0, 0.0)
+    e2 = jnp.where(valid_tri[:, None], p2 - p0, 0.0)
+    p0c = p0.reshape(n_chunks, TRI_CHUNK, 3)
+    e1c = e1.reshape(n_chunks, TRI_CHUNK, 3)
+    e2c = e2.reshape(n_chunks, TRI_CHUNK, 3)
+
+    o = ray.o[:, None, :]
+    d = ray.d[:, None, :]
+
+    def body(carry, chunk):
+        t_best, prim, uu, vv = carry
+        cp0, ce1, ce2, base = chunk
+        t, u, v, hit = _moeller_trumbore(o, d, cp0[None], ce1[None], ce2[None])
+        hit &= t < t_best[:, None]
+        # closest within chunk
+        t_masked = jnp.where(hit, t, INF)
+        j = jnp.argmin(t_masked, axis=1)
+        tj = jnp.take_along_axis(t_masked, j[:, None], 1)[:, 0]
+        better = tj < t_best
+        prim = jnp.where(better, base + j.astype(jnp.int32), prim)
+        uu = jnp.where(better, jnp.take_along_axis(u, j[:, None], 1)[:, 0], uu)
+        vv = jnp.where(better, jnp.take_along_axis(v, j[:, None], 1)[:, 0], vv)
+        t_best = jnp.where(better, tj, t_best)
+        return (t_best, prim, uu, vv), None
+
+    N = ray.o.shape[0]
+    init = (t_best, jnp.full((N,), -1, jnp.int32),
+            jnp.zeros((N,)), jnp.zeros((N,)))
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK
+    (t_best, prim, uu, vv), _ = jax.lax.scan(
+        body, init, (p0c, e1c, e2c, bases))
+    return t_best, prim, uu, vv
+
+
+def _bvh_tris(scene: Scene, ray: Ray, t_best, any_hit: bool):
+    """Lockstep stack traversal; all lanes in one while_loop."""
+    bvh = scene.bvh
+    N = ray.o.shape[0]
+    D = bvh.depth + 2
+    d_safe = jnp.where(jnp.abs(ray.d) < 1e-12,
+                       jnp.where(ray.d >= 0, 1e-12, -1e-12), ray.d)
+    inv_d = 1.0 / d_safe
+
+    stack = jnp.zeros((N, D), jnp.int32)
+    sp = jnp.ones((N,), jnp.int32)          # stack holds root (=0) at slot 0
+    prim = jnp.full((N,), -1, jnp.int32)
+    uu = jnp.zeros((N,))
+    vv = jnp.zeros((N,))
+
+    max_leaf = 8 * 4  # MAX_LEAF fat-leaf bound from bvh.py
+
+    def cond(state):
+        sp = state[1]
+        return jnp.any(sp > 0)
+
+    def body(state):
+        stack, sp, t_best, prim, uu, vv = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = jnp.take_along_axis(stack, top[:, None], 1)[:, 0]
+        node = jnp.where(active, node, 0)
+        sp = jnp.where(active, sp - 1, sp)
+
+        nmin = bvh.node_min[node]
+        nmax = bvh.node_max[node]
+        near, hit_box = _ray_aabb(ray.o, inv_d, jnp.minimum(ray.maxt, t_best),
+                                  nmin, nmax)
+        hit_box &= active
+
+        is_leaf = bvh.right[node] < 0
+        # ---- leaf: test up to `count` prims serially (count<=32) ----
+        first = bvh.first[node]
+        cnt = bvh.count[node]
+
+        def leaf_body(k, carry):
+            t_best, prim, uu, vv = carry
+            li = jnp.clip(first + k, 0, bvh.perm.shape[0] - 1)
+            tri = bvh.perm[li]
+            p0, e1, e2 = _gather_tri(scene, tri)
+            t, u, v, h = _moeller_trumbore(ray.o, ray.d, p0, e1, e2)
+            h &= hit_box & is_leaf & (k < cnt) & (t < t_best) & (t < ray.maxt)
+            t_best = jnp.where(h, t, t_best)
+            prim = jnp.where(h, tri, prim)
+            uu = jnp.where(h, u, uu)
+            vv = jnp.where(h, v, vv)
+            return t_best, prim, uu, vv
+
+        t_best, prim, uu, vv = jax.lax.fori_loop(
+            0, max_leaf, leaf_body, (t_best, prim, uu, vv))
+
+        # ---- internal: push children (near-first ordering skipped r1) ----
+        push = hit_box & ~is_leaf
+        left = node + 1
+        right = bvh.right[node]
+        # push right then left so left pops first
+        stack = _stack_push(stack, sp, right, push)
+        sp = jnp.where(push, sp + 1, sp)
+        stack = _stack_push(stack, sp, left, push)
+        sp = jnp.where(push, sp + 1, sp)
+        return stack, sp, t_best, prim, uu, vv
+
+    state = (stack, sp, t_best, prim, uu, vv)
+    stack, sp, t_best, prim, uu, vv = jax.lax.while_loop(cond, body, state)
+    return t_best, prim, uu, vv
+
+
+def _stack_push(stack, sp, val, mask):
+    D = stack.shape[1]
+    slot = jnp.clip(sp, 0, D - 1)
+    onehot = jax.nn.one_hot(slot, D, dtype=stack.dtype)
+    newval = val[:, None] * onehot
+    keep = 1 - onehot * mask[:, None].astype(stack.dtype)
+    return stack * keep + newval * mask[:, None].astype(stack.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Analytic spheres
+# ---------------------------------------------------------------------------
+
+def _spheres(scene: Scene, ray: Ray, t_best):
+    """Intersect all analytic spheres (few per scene -> brute force)."""
+    Sp = scene.n_spheres
+    N = ray.o.shape[0]
+    sph = jnp.full((N,), -1, jnp.int32)
+    if Sp == 0:
+        return t_best, sph
+    c = scene.sph_center[None]          # (1, Sp, 3)
+    r = scene.sph_radius[None]          # (1, Sp)
+    o = ray.o[:, None, :] - c
+    d = ray.d[:, None, :]
+    b = jnp.sum(o * d, -1)
+    cc = jnp.sum(o * o, -1) - r * r
+    disc = b * b - cc
+    sq = m.safe_sqrt(disc)
+    t0 = -b - sq
+    t1 = -b + sq
+    t = jnp.where(t0 > 1e-5, t0, jnp.where(t1 > 1e-5, t1, INF))
+    t = jnp.where(disc > 0, t, INF)
+    j = jnp.argmin(t, axis=1)
+    tj = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+    better = tj < t_best
+    sph = jnp.where(better, j.astype(jnp.int32), sph)
+    t_best = jnp.where(better, tj, t_best)
+    return t_best, sph
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def _tri_strategy(scene: Scene):
+    if scene.intersector == "brute":
+        return _brute_tris
+    if scene.intersector == "bvh":
+        return _bvh_tris
+    return _brute_tris if scene.n_tris <= 512 else _bvh_tris
+
+
+def ray_intersect_preliminary(scene: Scene, ray: Ray):
+    """Returns (t, prim, u, v, sph_idx). prim=-1 & sph=-1 => miss."""
+    N = ray.o.shape[0]
+    t_best = jnp.where(jnp.isfinite(ray.maxt), ray.maxt, INF)
+    t_best = jnp.minimum(t_best, INF)
+    strat = _tri_strategy(scene)
+    t_best, prim, uu, vv = strat(scene, ray, t_best, any_hit=False)
+    t_best, sph = _spheres(scene, ray, t_best)
+    prim = jnp.where(sph >= 0, -1, prim)
+    return t_best, prim, uu, vv, sph
+
+
+def ray_test(scene: Scene, ray: Ray):
+    """Shadow-ray occlusion query (scene.h ray_test)."""
+    t, prim, _, _, sph = ray_intersect_preliminary(scene, ray)
+    return (prim >= 0) | (sph >= 0)
+
+
+def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction:
+    """Fill a full SurfaceInteraction from a preliminary hit
+    (analog of PreliminaryIntersection3f::compute_surface_interaction)."""
+    N = ray.o.shape[0]
+    hit_tri = prim >= 0
+    hit_sph = sph >= 0
+    hit = hit_tri | hit_sph
+
+    prim_s = jnp.maximum(prim, 0)
+    f = scene.faces[prim_s]
+    p0 = scene.vertices[f[:, 0]]
+    p1 = scene.vertices[f[:, 1]]
+    p2 = scene.vertices[f[:, 2]]
+    w = 1.0 - u - v
+    p_tri = p0 * w[:, None] + p1 * u[:, None] + p2 * v[:, None]
+    ng_tri = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+    n0 = scene.normals[f[:, 0]]
+    n1 = scene.normals[f[:, 1]]
+    n2 = scene.normals[f[:, 2]]
+    ns_tri = n0 * w[:, None] + n1 * u[:, None] + n2 * v[:, None]
+    ns_len = m.norm(ns_tri)
+    ns_tri = jnp.where((ns_len > 1e-6)[:, None], ns_tri / jnp.maximum(ns_len, 1e-6)[:, None], ng_tri)
+    uv0 = scene.uvs[f[:, 0]]
+    uv1 = scene.uvs[f[:, 1]]
+    uv2 = scene.uvs[f[:, 2]]
+    uv_tri = uv0 * w[:, None] + uv1 * u[:, None] + uv2 * v[:, None]
+    shape_tri = scene.tri_shape[prim_s]
+
+    # spheres
+    sph_s = jnp.maximum(sph, 0)
+    c = scene.sph_center[sph_s]
+    r = scene.sph_radius[sph_s]
+    p_sph_raw = ray.at(t)
+    ns_sph = m.normalize(p_sph_raw - c)
+    p_sph = c + ns_sph * r[:, None]   # re-project for robustness
+    theta = m.safe_acos(ns_sph[..., 2])
+    phi = jnp.arctan2(ns_sph[..., 1], ns_sph[..., 0])
+    uv_sph = jnp.stack([(phi + jnp.pi) / (2 * jnp.pi), theta / jnp.pi], -1)
+    shape_sph = scene.sph_shape[sph_s]
+
+    p = jnp.where(hit_sph[:, None], p_sph, p_tri)
+    ng = jnp.where(hit_sph[:, None], ns_sph, ng_tri)
+    ns = jnp.where(hit_sph[:, None], ns_sph, ns_tri)
+    uv = jnp.where(hit_sph[:, None], uv_sph, uv_tri)
+    shape = jnp.where(hit_sph, shape_sph,
+                      jnp.where(hit_tri, shape_tri, -1)).astype(jnp.int32)
+
+    t_out = jnp.where(hit, t, INF)
+    frame = m.make_frame(ns)
+    wi_local = frame.to_local(-ray.d)
+    return SurfaceInteraction(
+        t=t_out, p=p, ng=ng, sh_frame=frame, uv=uv, wi=wi_local,
+        prim=jnp.where(hit_sph, sph, prim).astype(jnp.int32), shape=shape)
+
+
+def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:
+    t, prim, u, v, sph = ray_intersect_preliminary(scene, ray)
+    return compute_si(scene, ray, t, prim, u, v, sph)

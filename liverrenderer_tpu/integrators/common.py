@@ -1,0 +1,85 @@
+"""Render orchestration: wavefront construction, pass splitting, film splat.
+
+TPU analog of reference SamplingIntegrator::render (integrator.cpp:151-397):
+the wavefront is film_w x film_h x spp_per_pass lanes (integrator.cpp:275);
+when the total sample budget exceeds `max_wavefront` it is split into passes
+accumulated on the film (integrator.cpp:279-293).  The per-pass work is one
+jit-compiled program: ray gen -> integrator loop -> filtered splat.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import film as film_mod
+from ..core.rng import make_sampler
+from ..scene.ir import Scene
+from ..sensor.perspective import sample_ray
+from . import path as path_mod
+from . import volpath as volpath_mod
+
+MAX_WAVEFRONT = 1 << 22   # lanes per pass (16.7M rays @ 4 bounces fits HBM)
+
+
+def _integrator_sample(scene: Scene, sampler, ray, mode="primal"):
+    name = scene.integrator
+    if name in ("path", "direct", "prb", "prb_basic"):
+        return path_mod.sample(scene, sampler, ray, mode=mode)
+    if name in ("volpath", "volpathmis", "biovolpath", "biovolpath06",
+                "prbvolpath"):
+        return volpath_mod.sample(scene, sampler, ray, mode=mode)
+    raise ValueError(f"unknown integrator {name}")
+
+
+def render_pass(scene: Scene, seed: int, spp_pass: int, sample_offset: int,
+                mode: str = "primal"):
+    """Render one pass: (h*w*spp_pass) lanes -> (h, w, 4) film accumulator."""
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    n = n_pix * spp_pass
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pix = lane // spp_pass
+    samp = lane % spp_pass + sample_offset
+    sampler = make_sampler(pix, samp, seed)
+
+    # film position: pixel corner + jitter (box) / + filter offset
+    px = (pix % w).astype(jnp.float32)
+    py = (pix // w).astype(jnp.float32)
+    uf, sampler = sampler.next_2d()
+    pos = jnp.stack([px, py], -1) + uf
+
+    ray = sample_ray(scene, pos)
+    L, valid, sampler = _integrator_sample(scene, sampler, ray, mode=mode)
+    L = jnp.where(jnp.isfinite(L), L, 0.0)  # NaN guard (vaescatter.cpp:469)
+    return film_mod.splat(w, h, scene.rfilter, pos, L)
+
+
+@partial(jax.jit, static_argnames=("spp", "spp_pass", "mode"))
+def _render_jit(scene: Scene, seed, spp: int, spp_pass: int,
+                mode: str = "primal"):
+    n_passes = (spp + spp_pass - 1) // spp_pass
+
+    if n_passes == 1:
+        acc = render_pass(scene, seed, spp_pass, 0, mode)
+    else:
+        def body(i, acc):
+            return acc + render_pass(scene, seed, spp_pass,
+                                     i * spp_pass, mode)
+        acc = jax.lax.fori_loop(
+            0, n_passes, body,
+            jnp.zeros((scene.film_h, scene.film_w, 4), jnp.float32))
+    return film_mod.develop(acc)
+
+
+def render(scene: Scene, spp: int | None = None, seed: int = 0,
+           mode: str = "primal"):
+    """Render the scene to an (h, w, 3) linear-RGB image (mi.render analog)."""
+    spp = spp or scene.spp
+    n_pix = scene.film_w * scene.film_h
+    spp_pass = max(1, min(spp, MAX_WAVEFRONT // max(n_pix, 1)))
+    while spp % spp_pass != 0:
+        spp_pass -= 1
+    return _render_jit(scene, seed, spp, spp_pass, mode)

@@ -1,0 +1,177 @@
+"""Surface path tracer with NEE + MIS (the reference `path` plugin).
+
+Re-derivation of src/integrators/path.cpp:95-350 as a TPU wavefront program:
+the recorded Dr.Jit megakernel loop (path.cpp:194) becomes a `lax.while_loop`
+(primal) or bounded `lax.scan` (differentiable mode — reverse-mode AD needs a
+static trip count) over a PathState SoA pytree; every bounce processes all
+lanes branchlessly.
+
+MIS/RR semantics match the reference:
+  * emitter hits weighted by mis_weight(prev_bsdf_pdf, emitter_pdf),
+    emitter_pdf = 0 for camera rays & delta bounces (path.cpp:207-223),
+  * NEE with mis_weight(ds.pdf, bsdf_pdf) zeroed for delta emitters
+    (path.cpp:247-259),
+  * Russian roulette after rr_depth with throughput*eta^2 survival prob
+    capped at 0.95, detached (path.cpp:320-336).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..accel.intersect import ray_intersect, ray_test
+from ..bsdf.dispatch import bsdf_eval_pdf, bsdf_sample
+from ..core import math as m
+from ..core.rng import Sampler
+from ..core.types import Ray, SurfaceInteraction
+from ..emitter.dispatch import (eval_emitter_hit, eval_environment,
+                                pdf_emitter_direction,
+                                sample_emitter_direction)
+from ..scene.ir import F_DELTA, F_SMOOTH, Scene
+from .shading import shading_frame_with_bump
+
+Array = jax.Array
+
+
+@struct.dataclass
+class PathState:
+    active: Array        # (N,) bool
+    depth: Array         # (N,) int32
+    ray_o: Array         # (N,3)
+    ray_d: Array         # (N,3)
+    L: Array             # (N,3) accumulated radiance
+    throughput: Array    # (N,3)
+    eta: Array           # (N,)
+    prev_p: Array        # (N,3) last scatter position (MIS ref point)
+    prev_pdf: Array      # (N,) last bsdf sample pdf
+    prev_smooth: Array   # (N,) bool: last bounce was a smooth (MIS-able) lobe
+    sampler: Sampler
+    valid: Array         # (N,) bool: ray contributed (alpha)
+
+
+def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> PathState:
+    n = ray.o.shape[0]
+    return PathState(
+        active=jnp.ones((n,), bool),
+        depth=jnp.zeros((n,), jnp.int32),
+        ray_o=ray.o, ray_d=ray.d,
+        L=jnp.zeros((n, 3)),
+        throughput=jnp.ones((n, 3)),
+        eta=jnp.ones((n,)),
+        prev_p=ray.o,
+        prev_pdf=jnp.ones((n,)),
+        prev_smooth=jnp.zeros((n,), bool),
+        sampler=sampler,
+        valid=jnp.zeros((n,), bool),
+    )
+
+
+def bounce(scene: Scene, st: PathState) -> PathState:
+    """One wavefront bounce; identical structure for primal & AD modes."""
+    n = st.ray_o.shape[0]
+    active = st.active
+    ray = Ray(o=st.ray_o, d=st.ray_d, maxt=jnp.full((n,), jnp.inf))
+
+    si = ray_intersect(scene, ray)
+    si = shading_frame_with_bump(scene, si, ray)
+
+    # ---------------- emission gathered along the BSDF-sampled ray --------
+    em_val, eidx = eval_emitter_hit(scene, si, ray.d)
+    env_val = eval_environment(scene, ray.d)
+    hit_emitter = (eidx >= 0) & si.valid
+    escaped = ~si.valid
+    if scene.emitters.env_index >= 0:
+        env_e = jnp.full((n,), scene.emitters.env_index, jnp.int32)
+        eidx_mis = jnp.where(escaped, env_e, eidx)
+    else:
+        eidx_mis = eidx
+    count_direct = (st.depth == 0) | ~st.prev_smooth
+    em_pdf = pdf_emitter_direction(scene, st.prev_p, eidx_mis, si.p,
+                                   si.ng, ray.d)
+    em_pdf = jnp.where(count_direct, 0.0, em_pdf)
+    mis_bsdf = m.mis_weight(st.prev_pdf, em_pdf)
+    contrib = jnp.where(hit_emitter[:, None], em_val, 0.0) \
+        + jnp.where(escaped[:, None], env_val, 0.0)
+    hide = scene.hide_emitters & (st.depth == 0)
+    gather = active & ~hide
+    st = st.replace(L=st.L + jnp.where(
+        gather[:, None], st.throughput * contrib * mis_bsdf[:, None], 0.0))
+
+    active_next = active & si.valid & (st.depth + 1 < scene.max_depth)
+    st = st.replace(valid=st.valid | (active & si.valid))
+
+    # ---------------- emitter sampling (NEE) ------------------------------
+    flags = scene.bsdfs.flags[jnp.maximum(
+        scene.shape_bsdf[jnp.maximum(si.shape, 0)], 0)]
+    smooth_here = (flags & F_SMOOTH) != 0
+    active_e = active_next & smooth_here
+    u2, sampler = st.sampler.next_2d()
+    u1, sampler = sampler.next_1d()
+    ds, em_weight = sample_emitter_direction(scene, si.p, u2, u1)
+    nee_valid = active_e & (ds.pdf > 0)
+    sray = si.spawn_ray_to(ds.p)
+    occluded = ray_test(scene, Ray(o=sray.o, d=sray.d, maxt=sray.maxt))
+    nee_valid &= ~occluded
+    wo_local = si.to_local(ds.d)
+    bval, bpdf = bsdf_eval_pdf(scene, si,
+                               scene.shape_bsdf[jnp.maximum(si.shape, 0)],
+                               wo_local)
+    mis_em = m.mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, bpdf))
+    st = st.replace(L=st.L + jnp.where(
+        nee_valid[:, None],
+        st.throughput * bval * em_weight * mis_em[:, None], 0.0))
+
+    # ---------------- BSDF sampling ---------------------------------------
+    ub1, sampler = sampler.next_1d()
+    ub2, sampler = sampler.next_2d()
+    bs = bsdf_sample(scene, si, scene.shape_bsdf[jnp.maximum(si.shape, 0)],
+                     ub1, ub2)
+    wo_world = si.to_world(bs.wo)
+    new_ray = si.spawn_ray(wo_world)
+    throughput = st.throughput * bs.weight
+    eta = st.eta * bs.eta
+    sampled_smooth = (bs.sampled_type & F_DELTA) == 0
+    alive = active_next & (bs.pdf > 0) \
+        & jnp.any(throughput != 0.0, axis=-1)
+
+    # ---------------- Russian roulette ------------------------------------
+    urr, sampler = sampler.next_1d()
+    tp_max = jnp.max(throughput, -1) * (eta * eta)
+    q = jnp.minimum(tp_max, 0.95)
+    perform_rr = st.depth + 1 >= scene.rr_depth
+    rr_continue = (urr < q) | ~perform_rr
+    throughput = jnp.where(
+        perform_rr[:, None],
+        throughput / jnp.maximum(jax.lax.stop_gradient(q), 1e-8)[:, None],
+        throughput)
+    alive &= rr_continue
+
+    return st.replace(
+        active=alive,
+        depth=st.depth + 1,
+        ray_o=jnp.where(alive[:, None], new_ray.o, st.ray_o),
+        ray_d=jnp.where(alive[:, None], new_ray.d, st.ray_d),
+        throughput=jnp.where(alive[:, None], throughput, st.throughput),
+        eta=jnp.where(alive, eta, st.eta),
+        prev_p=jnp.where(alive[:, None], si.p, st.prev_p),
+        prev_pdf=jnp.where(alive, bs.pdf, st.prev_pdf),
+        prev_smooth=jnp.where(alive, sampled_smooth, st.prev_smooth),
+        sampler=sampler,
+    )
+
+
+def sample(scene: Scene, sampler: Sampler, ray: Ray, mode: str = "primal"):
+    """Estimate radiance for each lane.  mode='primal' uses a while_loop
+    (early exit when all lanes die); mode='ad' uses a scan with a static
+    trip count so reverse-mode AD works (integrators/prb.py)."""
+    st = init_state(ray, sampler, scene)
+    if mode == "primal":
+        st = jax.lax.while_loop(
+            lambda s: jnp.any(s.active) & jnp.all(s.depth < scene.max_depth),
+            lambda s: bounce(scene, s), st)
+    else:
+        def step(s, _):
+            return bounce(scene, s), None
+        st, _ = jax.lax.scan(step, st, None, length=scene.max_depth)
+    return st.L, st.valid, st.sampler

@@ -1,0 +1,65 @@
+"""Image IO: PNG/JPG via PIL, EXR/PFM via our own codecs.
+
+Capability analog of reference src/core/bitmap.cpp (2562 LoC): load/store of
+LDR (sRGB-encoded) and HDR images with linearization on load.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.spectrum import linear_to_srgb_np
+
+
+def read_image(path: str, srgb_to_linear: bool = True) -> np.ndarray:
+    """Read an image to float32 (H, W, C>=3), linear RGB."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".exr":
+        from .exr import read_exr
+        return read_exr(path)
+    if ext == ".pfm":
+        return _read_pfm(path)
+    from PIL import Image
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    if srgb_to_linear:
+        img = np.where(img <= 0.04045, img / 12.92,
+                       ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
+    return img
+
+
+def write_image(path: str, img: np.ndarray):
+    """Write linear RGB float image; PNG gets sRGB-encoded, EXR stays linear."""
+    img = np.asarray(img, np.float32)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".exr":
+        from .exr import write_exr
+        write_exr(path, img)
+        return
+    if ext == ".pfm":
+        _write_pfm(path, img)
+        return
+    from PIL import Image
+    ldr = np.clip(linear_to_srgb_np(np.clip(img, 0, None)), 0, 1)
+    Image.fromarray((ldr * 255 + 0.5).astype(np.uint8)).save(path)
+
+
+def _read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        color = header == b"PF"
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().strip())
+        data = np.fromfile(f, "<f4" if scale < 0 else ">f4")
+    data = data.reshape(h, w, 3 if color else 1)
+    return np.flipud(data).astype(np.float32)
+
+
+def _write_pfm(path: str, img: np.ndarray):
+    with open(path, "wb") as f:
+        color = img.ndim == 3 and img.shape[2] >= 3
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{img.shape[1]} {img.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        np.flipud(img[..., :3] if color else img).astype("<f4").tofile(f)

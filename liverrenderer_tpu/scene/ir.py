@@ -1,0 +1,268 @@
+"""Scene intermediate representation: one frozen SoA pytree.
+
+This is the TPU-native replacement for the reference's object graph
+(Scene/Shape/BSDF/Emitter/Medium plugin instances wired by the parser,
+src/render/scene.cpp:23-113).  Instead of refcounted C++ objects with
+vectorized virtual calls, the whole scene is flattened host-side into dense
+typed tables (type code + parameter rows + texture/bitmap indices); the
+render kernels dispatch with masked selects over the *static* set of types
+present, which `jax.jit` specializes per scene structure — the analog of the
+reference recompiling a megakernel per scene.
+
+All buffers are device arrays; all Python-level metadata (counts, type sets,
+film size) is static so it participates in jit specialization, not tracing.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.distr import DiscreteDistribution, Distribution2D
+from ..core.types import static_field
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# Type codes (stable ABI between builder and kernels)
+# ---------------------------------------------------------------------------
+BSDF_DIFFUSE = 0
+BSDF_DIELECTRIC = 1
+BSDF_THINDIELECTRIC = 2
+BSDF_CONDUCTOR = 3
+BSDF_ROUGHCONDUCTOR = 4
+BSDF_PLASTIC = 5
+BSDF_NULL = 6
+BSDF_ROUGHDIELECTRIC = 7
+BSDF_ROUGHPLASTIC = 8
+BSDF_BLEND = 9
+BSDF_MASK = 10
+
+EMITTER_AREA = 0
+EMITTER_POINT = 1
+EMITTER_CONSTANT = 2
+EMITTER_ENVMAP = 3
+EMITTER_DIRECTIONAL = 4
+EMITTER_SPOT = 5
+
+TEX_CONST = 0
+TEX_BITMAP = 1
+TEX_CHECKERBOARD = 2
+
+MEDIUM_HOMOGENEOUS = 0
+MEDIUM_HETEROGENEOUS = 1
+MEDIUM_GLISSON = 2
+MEDIUM_PARENCHYMA = 3
+MEDIUM_LIVER = 4
+
+PHASE_ISOTROPIC = 0
+PHASE_HG = 1
+PHASE_RAYLEIGH = 2
+
+SHAPE_MESH = 0
+SHAPE_SPHERE = 1
+
+FILTER_BOX = 0
+FILTER_GAUSSIAN = 1
+FILTER_TENT = 2
+
+# BSDF flag bits (subset of reference include/mitsuba/render/bsdf.h BSDFFlags)
+F_NULL = 1 << 0
+F_DIFFUSE_REFL = 1 << 1
+F_GLOSSY_REFL = 1 << 2
+F_GLOSSY_TRANS = 1 << 3
+F_DELTA_REFL = 1 << 4
+F_DELTA_TRANS = 1 << 5
+F_SMOOTH = F_DIFFUSE_REFL | F_GLOSSY_REFL | F_GLOSSY_TRANS
+F_DELTA = F_DELTA_REFL | F_DELTA_TRANS | F_NULL
+
+# parameter-row widths
+BSDF_P = 12     # float params per bsdf row
+EMITTER_P = 16
+TEX_P = 10
+MEDIUM_P = 48
+
+
+@struct.dataclass
+class Textures:
+    """Texture table. data rows: TEX_CONST rgb in [0:3]; TEX_CHECKERBOARD
+    color0 [0:3] color1 [3:6] uv-scale [6:8] uv-offset [8:10]; TEX_BITMAP
+    uv-scale [6:8] uv-offset [8:10] and bitmap index in `bitmap_id`.
+
+    Capability analog of reference src/textures/{bitmap,checkerboard}.cpp +
+    constant spectra.
+    """
+    ttype: Array       # (Tx,) int32
+    data: Array        # (Tx, TEX_P) float32
+    bitmap_id: Array   # (Tx,) int32, -1 if none
+    # Bitmaps stacked & padded to a common (H, W); per-bitmap true sizes.
+    bitmaps: Array     # (K, H, W, 3) float32 (linear RGB)
+    bitmap_hw: Array   # (K, 2) int32 true (h, w)
+    types_present: Tuple[int, ...] = static_field(default=(TEX_CONST,))
+
+
+@struct.dataclass
+class BSDFs:
+    """BSDF table.
+
+    Param rows by type (reference plugin params in src/bsdfs/*.cpp):
+      DIFFUSE:          tex0 = reflectance
+      DIELECTRIC:       p0 = eta (int/ext); tex0 = specular_reflectance,
+                        tex1 = specular_transmittance
+      THINDIELECTRIC:   p0 = eta
+      CONDUCTOR:        p0:3 = eta, p3:6 = k; tex0 = specular_reflectance
+      ROUGHCONDUCTOR:   + p6 = alpha_u, p7 = alpha_v (GGX)
+      ROUGHDIELECTRIC:  p0 = eta, p6 = alpha
+      PLASTIC:          p0 = eta, p1 = nonlinear, p2 = fdr_int, p3 = fdr_ext,
+                        p4 = spec_sampling_weight; tex0 = diffuse_reflectance
+      NULL:             --
+      MASK:             tex0 = opacity, inner = nested bsdf
+      BLEND:            tex0 = weight, inner = bsdf0, p0(int) via inner2
+    """
+    btype: Array     # (B,) int32
+    params: Array    # (B, BSDF_P) float32
+    tex0: Array      # (B,) int32 texture index (-1 => white)
+    tex1: Array      # (B,) int32
+    inner: Array     # (B,) int32 nested bsdf (mask/blend), -1 otherwise
+    inner2: Array    # (B,) int32 second nested bsdf (blend)
+    flags: Array     # (B,) uint32 BSDF flag bits
+    twosided: Array  # (B,) bool
+    types_present: Tuple[int, ...] = static_field(default=(BSDF_DIFFUSE,))
+
+
+@struct.dataclass
+class Emitters:
+    """Emitter table. Param rows by type (src/emitters/*.cpp):
+      AREA:        tex0 = radiance texture; shape = owning shape
+      POINT:       p0:3 position, p3:6 intensity
+      CONSTANT:    p0:3 radiance
+      ENVMAP:      bitmap via tex0, p6 scale; to_world in `emitter_to_world`
+      DIRECTIONAL: p0:3 direction (world, unit), p3:6 irradiance
+      SPOT:        p0:3 position, p3:6 intensity, p6 cos_cutoff, p7 cos_beam,
+                   p8:11 direction
+    """
+    etype: Array          # (E,) int32
+    params: Array         # (E, EMITTER_P) float32
+    shape: Array          # (E,) int32 shape index for area emitters, -1 else
+    tex0: Array           # (E,) int32 radiance texture
+    to_world: Array       # (E, 4, 4) float32 (envmap orientation)
+    distr: DiscreteDistribution   # emitter-selection distribution
+    # Environment importance map (envmap emitters); identity row for others.
+    env_distr: Distribution2D
+    env_index: int = static_field(default=-1)   # scene env emitter id or -1
+    types_present: Tuple[int, ...] = static_field(default=())
+    count: int = static_field(default=0)
+
+
+@struct.dataclass
+class Media:
+    """Participating media table.
+
+    params layout (MEDIUM_P = 48 floats / row):
+      common:        [0:3] sigma_t rgb, [3:6] albedo rgb, [6] scale,
+                     [7] phase g, [8] (int) phase type, [9] has_spectral_ext
+      HETEROGENEOUS: [10] max_density (majorant), grid via `grid_id`
+      GLISSON (src/media/glissonCapsule.cpp:146-189):
+                     [12:24] sigma_collagen layer1..4 rgb
+                     [24:36] sigma_elastin layer1..4 rgb
+                     [36:40] layer limits 1..4
+      PARENCHYMA (src/media/parenchyma.cpp):
+                     [12:15] sigma_blood, [15:18] sigma_bile,
+                     [18:21] sigma_lipid_water, [21] sigma_hepatocity
+      LIVER (src/media/liver.cpp:140-194): union of both layouts —
+                     glisson block at [12:40], parenchyma block at [40] on:
+                     blood/bile/lipid_water stored at [12:21]? no — LIVER uses
+                     glisson slots [12:40] plus [40:43] blood, [43:46] bile,
+                     hepatocity [46], lipid_water stored in sigma_t slot? —
+                     see builder.py _pack_medium for the authoritative layout.
+    """
+    mtype: Array     # (M,) int32
+    params: Array    # (M, MEDIUM_P) float32
+    grid_id: Array   # (M,) int32 into grids, -1 if none
+    grids: Array     # (G, D, H, W, 4) stacked density/albedo grids (padded)
+    grid_whd: Array  # (G, 3) int32 true sizes
+    grid_to_local: Array  # (G, 4, 4) world->grid-local transforms
+    types_present: Tuple[int, ...] = static_field(default=())
+    count: int = static_field(default=0)
+
+
+@struct.dataclass
+class BVH:
+    """Flattened 2-wide BVH in depth-first order over the *global* triangle
+    stream (TPU-side analog of reference kdtree.h / scene_embree.inl).
+    Internal node i: left child = i+1, right child = right[i].
+    Leaf: right[i] == -1, prims [first[i], first[i]+count[i]).
+    `perm` maps BVH-leaf order -> global triangle index."""
+    node_min: Array   # (Nn, 3)
+    node_max: Array   # (Nn, 3)
+    right: Array      # (Nn,) int32
+    first: Array      # (Nn,) int32
+    count: Array      # (Nn,) int32
+    perm: Array       # (T,) int32
+    depth: int = static_field(default=32)
+
+
+@struct.dataclass
+class Sensor:
+    """Perspective sensor (reference src/sensors/perspective.cpp:424)."""
+    to_world: Array       # (4,4) camera-to-world
+    fov_x: Array          # () x-field-of-view in degrees
+    near_clip: Array      # ()
+    far_clip: Array       # ()
+
+
+@struct.dataclass
+class Scene:
+    # ------------- geometry (world space, SoA) -------------
+    vertices: Array       # (V, 3) float32
+    faces: Array          # (T, 3) int32
+    normals: Array        # (V, 3) float32 vertex normals
+    uvs: Array            # (V, 2) float32
+    tri_shape: Array      # (T,) int32 owning shape id
+    # analytic spheres
+    sph_center: Array     # (Sp, 3)
+    sph_radius: Array     # (Sp,)
+    sph_shape: Array      # (Sp,) int32 owning shape id
+    # ------------- shape table (S,) -------------
+    shape_bsdf: Array         # (S,) int32
+    shape_emitter: Array      # (S,) int32, -1 none
+    shape_int_medium: Array   # (S,) int32, -1 none
+    shape_ext_medium: Array   # (S,) int32, -1 none
+    shape_bump_tex: Array     # (S,) int32 texture for bump/normal map, -1
+    shape_bump_scale: Array   # (S,)
+    shape_type: Array         # (S,) int32 SHAPE_MESH / SHAPE_SPHERE
+    shape_prim_offset: Array  # (S,) int32 first prim (tri or sphere idx)
+    shape_prim_count: Array   # (S,) int32
+    shape_area: Array         # (S,) total surface area
+    # area-emitter triangle sampling: global cumulative triangle areas
+    tri_area_cdf: Array       # (T,)
+    tri_area: Array           # (T,)
+    # ------------- tables -------------
+    bsdfs: BSDFs
+    emitters: Emitters
+    textures: Textures
+    media: Media
+    bvh: BVH
+    sensor: Sensor
+    # ------------- static config -------------
+    n_shapes: int = static_field(default=0)
+    n_tris: int = static_field(default=0)
+    n_spheres: int = static_field(default=0)
+    film_w: int = static_field(default=256)
+    film_h: int = static_field(default=256)
+    rfilter: int = static_field(default=FILTER_GAUSSIAN)
+    spp: int = static_field(default=64)
+    integrator: str = static_field(default="path")
+    max_depth: int = static_field(default=8)
+    rr_depth: int = static_field(default=5)
+    hide_emitters: bool = static_field(default=False)
+    camera_medium: int = static_field(default=-1)
+    intersector: str = static_field(default="auto")  # auto|brute|bvh
+    has_bump: bool = static_field(default=False)
+
+    # convenience -----------------------------------------------------------
+    @property
+    def has_env(self) -> bool:
+        return self.emitters.env_index >= 0

@@ -1,0 +1,156 @@
+"""Mitsuba XML scene parser -> builder dict.
+
+TPU-side analog of the reference 3-stage parser (include/mitsuba/core/
+parser.h:34-65: parse_file -> transform_all -> instantiate): here the XML is
+lowered to the same dict vocabulary consumed by scene/builder.py, with
+`<default>` declarations, `$var` substitution and `-D key=value` overrides
+(mitsuba.cpp:243-249 CLI semantics).
+"""
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+from typing import Any, Dict
+
+import numpy as np
+
+from .transform import Transform
+
+
+def load_file(path: str, **overrides):
+    """Parse a Mitsuba XML scene and build it (mi.load_file analog).
+    Keyword args override `<default>` parameter values."""
+    from .builder import load_dict
+    d = parse_xml(path, overrides)
+    return load_dict(d, base_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def parse_xml(path: str, overrides: Dict[str, Any] | None = None) -> dict:
+    tree = ET.parse(path)
+    root = tree.getroot()
+    assert root.tag == "scene", "expected <scene> root"
+    params: Dict[str, str] = {}
+    for child in root.findall("default"):
+        params[child.attrib["name"]] = child.attrib["value"]
+    if overrides:
+        params.update({k: str(v) for k, v in overrides.items()})
+
+    def subst(s: str) -> str:
+        def repl(mo):
+            return params[mo.group(1)]
+        return re.sub(r"\$(\w+)", repl, s)
+
+    scene: Dict[str, Any] = {"type": "scene"}
+    counter = [0]
+
+    def add(d, key, val):
+        if key in d:
+            counter[0] += 1
+            key = f"{key}_{counter[0]}"
+        d[key] = val
+
+    for child in root:
+        if child.tag == "default":
+            continue
+        node = _convert(child, subst)
+        if node is None:
+            continue
+        key, val = node
+        add(scene, key, val)
+    return scene
+
+
+_SCALAR_TAGS = {"float": float, "integer": int, "boolean":
+                lambda s: s.lower() == "true", "string": str}
+
+
+def _parse_transform(el, subst) -> Transform:
+    t = Transform()
+    for op in el:
+        a = {k: subst(v) for k, v in op.attrib.items()}
+        if op.tag == "translate":
+            t = Transform().translate(_vec3(a, 0.0)).matmul(t)
+        elif op.tag == "scale":
+            if "value" in a:
+                v = [float(x) for x in re.split(r"[ ,]+", a["value"].strip())]
+                v = v * 3 if len(v) == 1 else v
+            else:
+                v = _vec3(a, 1.0)
+            t = Transform().scale(v).matmul(t)
+        elif op.tag == "rotate":
+            axis = _vec3(a, 0.0)
+            t = Transform().rotate(axis, float(a["angle"])).matmul(t)
+        elif op.tag == "lookat":
+            def pv(s):
+                return [float(x) for x in re.split(r"[ ,]+", s.strip())]
+            t = Transform().look_at(pv(a["origin"]), pv(a["target"]),
+                                    pv(a["up"])).matmul(t)
+        elif op.tag == "matrix":
+            vals = [float(x) for x in subst(op.attrib["value"]).split()]
+            m = np.asarray(vals).reshape(4, 4)
+            t = Transform(m).matmul(t)
+    return t
+
+
+def _vec3(a: Dict[str, str], default: float):
+    return [float(a.get("x", default)), float(a.get("y", default)),
+            float(a.get("z", default))]
+
+
+def _convert(el, subst):
+    """Convert an element to (key, dict-or-scalar). Returns None to skip."""
+    tag = el.tag
+    attrib = {k: subst(v) for k, v in el.attrib.items()}
+    name = attrib.get("name", attrib.get("id", tag))
+
+    if tag in _SCALAR_TAGS:
+        return name, _SCALAR_TAGS[tag](attrib["value"])
+    if tag == "vector" or tag == "point":
+        if "value" in attrib:
+            v = [float(x) for x in re.split(r"[ ,]+", attrib["value"].strip())]
+        else:
+            v = _vec3(attrib, 0.0)
+        return name, v
+    if tag == "rgb":
+        v = [float(x) for x in re.split(r"[ ,]+", attrib["value"].strip())]
+        if len(v) == 1:
+            v = v * 3
+        return name, {"type": "rgb", "value": v}
+    if tag == "spectrum":
+        try:
+            return name, {"type": "rgb",
+                          "value": [float(attrib["value"])] * 3}
+        except (ValueError, KeyError):
+            return name, {"type": "rgb", "value": [1.0, 1.0, 1.0]}
+    if tag == "transform":
+        return name, _parse_transform(el, subst)
+    if tag == "ref":
+        return attrib.get("name", f"ref_{attrib['id']}"), \
+            {"type": "ref", "id": attrib["id"]}
+
+    # object tags: integrator, sensor, film, sampler, bsdf, shape, emitter,
+    # medium, phase, texture, rfilter, volume ...
+    d: Dict[str, Any] = {"type": attrib.get("type", tag)}
+    if "id" in attrib:
+        d["id"] = attrib["id"]
+    cnt = 0
+    for child in el:
+        node = _convert(child, subst)
+        if node is None:
+            continue
+        key, val = node
+        # nested objects keep their canonical slot names
+        if child.tag in ("bsdf", "film", "sampler", "rfilter", "phase",
+                         "emitter", "medium", "texture", "volume"):
+            key = child.attrib.get("name", child.tag)
+            if child.tag == "medium" and key not in ("interior", "exterior"):
+                key = "interior"
+            if child.tag == "rfilter":
+                val = {"type": child.attrib["type"]}
+        if key in d:
+            cnt += 1
+            key = f"{key}_{cnt}"
+        d[key] = val
+    key = attrib.get("id", tag)
+    return key, d

@@ -1,0 +1,73 @@
+"""Texture evaluation over the wavefront.
+
+Replaces the reference's Texture vcall dispatch (src/textures/{bitmap.cpp:954,
+checkerboard.cpp}) with masked selects over the static set of texture types
+present; bitmap lookup is a bilinear gather from the stacked bitmap array.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..scene.ir import Scene, Textures, TEX_CONST, TEX_BITMAP, TEX_CHECKERBOARD
+
+
+def eval_texture(tex: Textures, tex_idx, uv):
+    """tex_idx: (N,) int32 (-1 => white); uv: (N,2). Returns (N,3) linear RGB."""
+    idx = jnp.maximum(tex_idx, 0)
+    ttype = tex.ttype[idx]
+    data = tex.data[idx]
+    out = jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
+
+    present = tex.types_present
+    if TEX_CONST in present:
+        out = jnp.where((ttype == TEX_CONST)[..., None], data[..., 0:3], out)
+    if TEX_CHECKERBOARD in present:
+        # reference src/textures/checkerboard.cpp: to_uv scale+offset, then
+        # parity of floor(u)+floor(v) selects color0/color1.
+        suv = uv * data[..., 6:8] + data[..., 8:10]
+        iu = jnp.floor(suv[..., 0]).astype(jnp.int32)
+        iv = jnp.floor(suv[..., 1]).astype(jnp.int32)
+        par = ((iu ^ iv) & 1) == 0
+        col = jnp.where(par[..., None], data[..., 0:3], data[..., 3:6])
+        out = jnp.where((ttype == TEX_CHECKERBOARD)[..., None], col, out)
+    if TEX_BITMAP in present:
+        suv = uv * data[..., 6:8] + data[..., 8:10]
+        col = _bilinear(tex, idx, suv)
+        out = jnp.where((ttype == TEX_BITMAP)[..., None], col, out)
+
+    return jnp.where((tex_idx >= 0)[..., None], out, 1.0)
+
+
+def eval_texture_mono(tex: Textures, tex_idx, uv):
+    return jnp.mean(eval_texture(tex, tex_idx, uv), axis=-1)
+
+
+def _bilinear(tex: Textures, idx, uv):
+    """Bilinear, repeat wrap.  v axis points down the image rows, matching the
+    reference Bitmap/uv convention."""
+    bid = jnp.maximum(tex.bitmap_id[idx], 0)
+    hw = tex.bitmap_hw[bid]
+    h = hw[..., 0].astype(jnp.float32)
+    w = hw[..., 1].astype(jnp.float32)
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def fetch(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(hw[..., 1], 1))
+        yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(hw[..., 0], 1))
+        return tex.bitmaps[bid, yi, xi]
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
