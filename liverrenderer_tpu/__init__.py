@@ -14,12 +14,16 @@ uses: load_dict / load_file / render / cornell_box / traverse / Bitmap-ish IO.
 from .scene.builder import load_dict
 from .scene.cornell import cornell_box
 from .scene.transform import Transform
+from .scene.xml import load_file
 from .integrators.common import render
+from .integrators.prb import render_grad, render_fwd_grad
+from .util import traverse, apply_params, SceneParameters
 from .io.image import read_image, write_image
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "load_dict", "cornell_box", "Transform", "render",
-    "read_image", "write_image",
+    "load_dict", "load_file", "cornell_box", "Transform", "render",
+    "render_grad", "render_fwd_grad", "traverse", "apply_params",
+    "SceneParameters", "read_image", "write_image",
 ]

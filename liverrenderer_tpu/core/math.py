@@ -49,10 +49,13 @@ def sqr(x):
 
 def mis_weight(pdf_a, pdf_b):
     """Power heuristic (beta=2), matching reference path.cpp:370-376 /
-    biovolpath.cpp:554-559."""
+    biovolpath.cpp:554-559.  Detached: MIS weights are sampling-density
+    ratios, excluded from differentiation (ad/integrators/common.py
+    detached-sampling rules)."""
+    import jax
     a2 = pdf_a * pdf_a
     w = a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-38)
-    return jnp.where(jnp.isfinite(w), w, 0.0)
+    return jax.lax.stop_gradient(jnp.where(jnp.isfinite(w), w, 0.0))
 
 
 def coordinate_system(n):

@@ -7,6 +7,7 @@ with dense-table dispatch like the BSDF layer.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math as m
@@ -183,8 +184,10 @@ def sample_emitter_direction(scene: Scene, ref_p, u2, u1) -> tuple:
                           value)
 
     pdf_total = pdf * sel_pdf
+    # detached sampling: the density is not differentiated, the radiance is
+    pdf_det = jax.lax.stop_gradient(jnp.maximum(pdf_total, 1e-30))
     weight = jnp.where((pdf_total > 0)[:, None],
-                       value / jnp.maximum(pdf_total, 1e-30)[:, None], 0.0)
+                       value / pdf_det[:, None], 0.0)
     ds = DirectionSample(p=p, n=nrm, d=d, dist=dist, pdf=pdf_total,
                          delta=delta, emitter=eidx.astype(jnp.int32))
     return ds, weight

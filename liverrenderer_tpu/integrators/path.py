@@ -171,7 +171,12 @@ def sample(scene: Scene, sampler: Sampler, ray: Ray, mode: str = "primal"):
             lambda s: jnp.any(s.active) & jnp.all(s.depth < scene.max_depth),
             lambda s: bounce(scene, s), st)
     else:
+        # reverse-AD needs a static trip count; remat each bounce so the
+        # backward pass recomputes instead of storing per-bounce activations
+        # (the scan carry is the only retained state — PRB's memory profile).
+        body = jax.checkpoint(lambda s: bounce(scene, s))
+
         def step(s, _):
-            return bounce(scene, s), None
+            return body(s), None
         st, _ = jax.lax.scan(step, st, None, length=scene.max_depth)
     return st.L, st.valid, st.sampler

@@ -1,0 +1,105 @@
+"""Differentiable rendering: gradients of image losses w.r.t. scene params.
+
+TPU-native replacement for the reference's AD-integrator machinery
+(python/ad/integrators/common.py ADIntegrator/RBIntegrator, prb.py
+PRBIntegrator, prbvolpath.py): instead of a Dr.Jit AD tape with a two-pass
+radiative-backprop replay, the wavefront loop runs as a bounded `lax.scan`
+(integrators/{path,volpath}.sample mode='ad') under reverse-mode `jax.grad`,
+with `jax.checkpoint` rematerializing each bounce so memory stays
+O(state x 1), and detached-sampling rules enforced by stop_gradient at every
+sampling density (core/math.mis_weight, emitter weights, volpath ratios —
+mirroring common.py:294-306 detach semantics).
+
+Pass-level gradient accumulation replaces PRB's O(1)-memory replay: render
+passes are independent MC estimates, so grad(sum of passes) = sum of
+per-pass grads — each pass's backward runs on its own wavefront
+(common.py spp splitting, integrator.cpp:275-293, applied to the adjoint).
+Because the sampler is counter-based (core/rng.py), every pass replays its
+primal randoms exactly in the backward recomputation, which is the PRB
+replay property (common.py:752-775) for free.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .. import film as film_mod
+from ..scene.ir import Scene
+from ..util import apply_params
+from .common import render_pass
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("spp", "spp_pass", "loss_fn"))
+def _grad_jit(scene: Scene, params: Dict[str, Array], seed, spp: int,
+              spp_pass: int, loss_fn: Callable):
+    """Returns (loss, grads, image). loss_fn: (image) -> scalar."""
+    n_passes = (spp + spp_pass - 1) // spp_pass
+    h, w = scene.film_h, scene.film_w
+
+    def render_p(p, i):
+        sc = apply_params(scene, p)
+        acc = render_pass(sc, seed, spp_pass, i * spp_pass, mode="ad")
+        return acc
+
+    # primal image (all passes, no grad) to evaluate dL/dI once
+    def body(i, acc):
+        return acc + jax.lax.stop_gradient(
+            render_p(params, i))
+    acc = jax.lax.fori_loop(0, n_passes, body,
+                            jnp.zeros((h, w, 4), jnp.float32))
+    image = film_mod.develop(acc)
+    loss, dL_dI = jax.value_and_grad(loss_fn)(image)
+
+    # adjoint: per-pass VJP with the same seeds (PRB replay), accumulated
+    def pass_grad(i, g_acc):
+        def f(p):
+            acc_i = render_p(p, i)
+            # develop(total) = sum_i acc_i[rgb] / total_weight; the filter
+            # weights carry no parameter dependence, so differentiate each
+            # pass's rgb against the detached total weight channel.
+            wch = jax.lax.stop_gradient(jnp.maximum(acc[..., 3:4], 1e-12))
+            img_i = acc_i[..., 0:3] / wch
+            return jnp.sum(img_i * dL_dI)
+        gi = jax.grad(f)(params)
+        return jax.tree_util.tree_map(jnp.add, g_acc, gi)
+
+    g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+    grads = jax.lax.fori_loop(0, n_passes, pass_grad, g0)
+    return loss, grads, image
+
+
+def render_grad(scene: Scene, params: Dict[str, Array], loss_fn: Callable,
+                spp: int = 16, seed: int = 0, spp_pass: int | None = None):
+    """Differentiable render: returns (loss, grads wrt params, image).
+
+    `params` is a dict of leaf overrides (util.traverse keys); `loss_fn`
+    maps the developed (h, w, 3) image to a scalar.
+    """
+    n_pix = scene.film_w * scene.film_h
+    from .common import MAX_WAVEFRONT
+    max_pass = max(1, min(spp, (MAX_WAVEFRONT // 4) // max(n_pix, 1)))
+    spp_pass = spp_pass or max_pass
+    while spp % spp_pass != 0:
+        spp_pass -= 1
+    return _grad_jit(scene, params, seed, spp, spp_pass, loss_fn)
+
+
+def render_fwd_grad(scene: Scene, params: Dict[str, Array], spp: int = 16,
+                    seed: int = 0):
+    """Forward-mode: d(image)/d(params) as a JVP with unit tangents.
+
+    Analog of ADIntegrator.render_forward (common.py:112-168).  Returns
+    (image, jvp_image) for tangents = ones_like(params) — callers wanting a
+    specific tangent direction pass scaled params.
+    """
+    def f(p):
+        sc = apply_params(scene, p)
+        from .common import _render_jit
+        return _render_jit(sc, seed, spp, spp, "ad")
+    tangents = jax.tree_util.tree_map(jnp.ones_like, params)
+    return jax.jvp(f, (params,), (tangents,))

@@ -1,10 +1,431 @@
-"""Volumetric path tracer (placeholder — implemented with the media layer).
+"""Volumetric path tracer with null scattering, NEE+MIS, and the fork's
+tissueDepth-threaded bio-media transport.
 
-Will mirror reference src/integrators/volpath.cpp + the fork's biovolpath
-(tissueDepth threading, biovolpath.cpp:129-273).
+One integrator covers the reference's `volpath` (src/integrators/volpath.cpp,
+class renamed BioVolumetricPathIntegrator but stock logic), `volpathmis`
+(single-channel spectral MIS via per-lane channel tracking), and the fork's
+`biovolpath`/`biovolpath06` (tissueDepth threading + EBioType transmittance
+semantics, biovolpath.cpp:95-379).  The variant is data-driven: lanes whose
+medium is a bio medium follow the bio rules, others the stock null-scattering
+rules — one fused wavefront kernel either way.
+
+Reference semantics preserved:
+  * per-lane RGB channel picked once (biovolpath.cpp:119-123),
+  * free-flight throughput tr/tr_pdf (biovolpath.cpp:234-238),
+  * null scatter weight sigma_n * maj_ch / sigma_n_ch (:248-251),
+  * real scatter: stock weight sigma_s * maj_ch / sigma_t_ch; bio media
+    multiply mei.transmittance (one-hot / kill, :266-274 + liver.cpp:521-534)
+    and accumulate tissueDepth += |cos_z * t| (:269-273),
+  * absorbed bio paths zero the per-channel accumulated result (:297-300),
+  * NEE through media with ratio-tracked shadow walks (:382-541),
+  * RR with eta^2-compressed throughput (:200-208).
 """
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
+from flax import struct
 
-def sample(scene, sampler, ray, mode="primal"):
-    raise NotImplementedError("volpath lands with the media layer")
+from ..accel.intersect import ray_intersect
+from ..bsdf.dispatch import (bsdf_eval_pdf, bsdf_sample,
+                             eval_null_transmission)
+from ..core import math as m
+from ..core.rng import Sampler
+from ..core.types import Ray
+from ..emitter.dispatch import (eval_emitter_hit, eval_environment,
+                                pdf_emitter_direction,
+                                sample_emitter_direction)
+from ..media.dispatch import (_index_spectrum, medium_is_bio, medium_phase,
+                              sample_interaction, transmittance_eval_pdf)
+from ..phase.dispatch import phase_eval, phase_sample
+from ..scene.ir import (F_DELTA, F_NULL, F_SMOOTH, MEDIUM_GLISSON, Scene)
+from .shading import shading_frame_with_bump
+
+Array = jax.Array
+INF = jnp.inf
+
+
+@struct.dataclass
+class VolpathState:
+    active: Array
+    depth: Array
+    ray_o: Array
+    ray_d: Array
+    L: Array
+    throughput: Array
+    eta: Array
+    medium: Array          # (N,) int32 current medium, -1 = vacuum
+    tissue_depth: Array    # (N,) fork extension (biovolpath.cpp:129)
+    channel: Array         # (N,) int32 tracked RGB channel
+    prev_p: Array
+    prev_pdf: Array
+    specular_chain: Array
+    valid: Array
+    sampler: Sampler
+
+
+def _has_bio(scene: Scene) -> bool:
+    from ..scene.ir import (MEDIUM_GLISSON, MEDIUM_LIVER, MEDIUM_PARENCHYMA)
+    return any(t in scene.media.types_present
+               for t in (MEDIUM_GLISSON, MEDIUM_PARENCHYMA, MEDIUM_LIVER))
+
+
+def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> VolpathState:
+    n = ray.o.shape[0]
+    u, sampler = sampler.next_1d()
+    channel = jnp.minimum((u * 3).astype(jnp.int32), 2)
+    return VolpathState(
+        active=jnp.ones((n,), bool),
+        depth=jnp.zeros((n,), jnp.int32),
+        ray_o=ray.o, ray_d=ray.d,
+        L=jnp.zeros((n, 3)),
+        throughput=jnp.ones((n, 3)),
+        eta=jnp.ones((n,)),
+        medium=jnp.full((n,), scene.camera_medium, jnp.int32),
+        tissue_depth=jnp.zeros((n,)),
+        channel=channel,
+        prev_p=ray.o,
+        prev_pdf=jnp.ones((n,)),
+        specular_chain=jnp.ones((n,), bool),
+        valid=jnp.zeros((n,), bool),
+        sampler=sampler,
+    )
+
+
+def _target_medium(scene: Scene, si, d):
+    """Medium on the far side of a boundary (interaction.h target_medium):
+    leaving (d . ng > 0) -> exterior, entering -> interior."""
+    shape = jnp.maximum(si.shape, 0)
+    outward = jnp.sum(d * si.ng, -1) > 0
+    return jnp.where(outward, scene.shape_ext_medium[shape],
+                     scene.shape_int_medium[shape]).astype(jnp.int32)
+
+
+def _is_transition(scene: Scene, si):
+    shape = jnp.maximum(si.shape, 0)
+    return si.valid & ((scene.shape_int_medium[shape] >= 0)
+                       | (scene.shape_ext_medium[shape] >= 0))
+
+
+def _nee_is_analytic(scene: Scene) -> bool:
+    """Static: shadow transmittance has a closed form when every medium is
+    homogeneous and no BSDF transmits shadow rays (null/mask absent)."""
+    from ..scene.ir import (BSDF_MASK, BSDF_NULL, BSDF_THINDIELECTRIC,
+                            MEDIUM_HOMOGENEOUS)
+    media_ok = all(t == MEDIUM_HOMOGENEOUS
+                   for t in scene.media.types_present)
+    bsdf_ok = not any(t in scene.bsdfs.types_present
+                      for t in (BSDF_NULL, BSDF_MASK))
+    return media_ok and bsdf_ok
+
+
+def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
+                              tissue_depth, sampler, active, max_steps: int,
+                              bounded: bool):
+    """NEE with transmittance estimation along the shadow path through media
+    and null surfaces (biovolpath.cpp:382-541 sample_emitter).
+
+    Fast path: homogeneous-only scenes use the analytic Beer-Lambert
+    transmittance + a single occlusion test instead of a ratio-tracked walk
+    (the reference always walks; on TPU the walk's gather-heavy loop is worth
+    skipping whenever the closed form exists)."""
+    u2, sampler = sampler.next_2d()
+    u1, sampler = sampler.next_1d()
+    ds, em_weight = sample_emitter_direction(scene, ref_p, u2, u1)
+    n = ref_p.shape[0]
+    active = active & (ds.pdf > 0)
+
+    if _nee_is_analytic(scene):
+        eps = (1.0 + jnp.max(jnp.abs(ref_p), -1)) * 1e-4
+        o0 = ref_p + ds.d * eps[:, None]
+        dist = ds.dist * (1.0 - 1e-3) - eps
+        from ..accel.intersect import ray_test
+        occ = ray_test(scene, Ray(o=o0, d=ds.d, maxt=dist))
+        midx = jnp.maximum(medium, 0)
+        prm = scene.media.params[midx]
+        sig = prm[:, 0:3] * prm[:, 6:7]
+        in_med = (medium >= 0)[:, None]
+        tr = jnp.where(in_med, jnp.exp(-dist[:, None] * sig), 1.0)
+        tr = jnp.where((active & ~occ)[:, None], tr, 0.0)
+        return ds, em_weight * tr, sampler
+
+    eps = (1.0 + jnp.max(jnp.abs(ref_p), -1)) * 1e-4
+    o0 = ref_p + ds.d * eps[:, None]
+
+    st = dict(
+        active=active,
+        o=o0,
+        remaining=ds.dist * (1.0 - 1e-3) - eps,
+        medium=medium,
+        tr=jnp.ones((n, 3)),
+        sampler=sampler,
+    )
+
+    def body(st):
+        active = st["active"] & (st["remaining"] > 0)
+        ray = Ray(o=st["o"], d=ds.d, maxt=st["remaining"])
+        si = ray_intersect(scene, ray)
+        surf_t = jnp.minimum(si.t, st["remaining"])
+
+        in_med = active & (st["medium"] >= 0)
+        mei, sampler = sample_interaction(
+            scene, st["medium"], st["o"], ds.d, surf_t, st["sampler"],
+            channel, tissue_depth, in_med)
+        tr_a, ffpdf = transmittance_eval_pdf(scene, st["medium"], mei, surf_t)
+        tr_pdf = _index_spectrum(ffpdf, channel)
+        ratio = jnp.where((tr_pdf > 0)[:, None],
+                          tr_a / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0)
+        tr = jnp.where(in_med[:, None], st["tr"] * ratio, st["tr"])
+
+        scattered = in_med & mei.valid
+        is_bio = medium_is_bio(scene, st["medium"])
+        # stock media: ratio-track through the (null) collision
+        maj_c = _index_spectrum(mei.combined_extinction, channel)
+        sn_c = _index_spectrum(mei.sigma_n, channel)
+        w_null = mei.sigma_n * (maj_c / jnp.maximum(sn_c, 1e-30))[:, None]
+        w_evt = jnp.where(is_bio[:, None], mei.transmittance, w_null)
+        tr = jnp.where(scattered[:, None], tr * w_evt, tr)
+
+        # surface handling for lanes that reached the surface first
+        hit_surface = active & ~scattered & si.valid & (si.t < st["remaining"])
+        null_tr = eval_null_transmission(
+            scene, si, scene.shape_bsdf[jnp.maximum(si.shape, 0)])
+        tr = jnp.where(hit_surface[:, None], tr * null_tr, tr)
+
+        # advance
+        step = jnp.where(scattered, mei.t, jnp.where(hit_surface, si.t + 2e-4,
+                                                     st["remaining"]))
+        o = st["o"] + ds.d * step[:, None]
+        remaining = st["remaining"] - step
+        done = active & ~scattered & ~hit_surface   # escaped to the emitter
+        medium2 = jnp.where(
+            hit_surface & _is_transition(scene, si),
+            _target_medium(scene, si, ds.d), st["medium"])
+        alive = (scattered | hit_surface) & (remaining > 0) \
+            & jnp.any(tr != 0.0, -1) & active
+        return dict(active=alive, o=o, remaining=remaining, medium=medium2,
+                    tr=tr, sampler=sampler)
+
+    if bounded:
+        for _ in range(max_steps):
+            st = body(st)
+    else:
+        st = jax.lax.while_loop(lambda s: jnp.any(s["active"]), body, st)
+
+    tr = jnp.where(active[:, None], st["tr"], 0.0)
+    return ds, em_weight * tr, st["sampler"]
+
+
+def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
+    n = st.ray_o.shape[0]
+    sampler = st.sampler
+    active = st.active
+    ray = Ray(o=st.ray_o, d=st.ray_d, maxt=jnp.full((n,), INF))
+    si = ray_intersect(scene, ray)
+    si = shading_frame_with_bump(scene, si, ray)
+
+    in_medium = active & (st.medium >= 0)
+    throughput = st.throughput
+    L = st.L
+    tissue_depth = st.tissue_depth
+    depth = st.depth
+
+    # ================= medium sampling =================
+    mei, sampler = sample_interaction(
+        scene, st.medium, st.ray_o, st.ray_d, si.t, sampler,
+        st.channel, tissue_depth, in_medium)
+    tr_a, ffpdf = transmittance_eval_pdf(scene, st.medium, mei, si.t)
+    tr_pdf = _index_spectrum(ffpdf, st.channel)
+    tr_pdf_det = jax.lax.stop_gradient(jnp.maximum(tr_pdf, 1e-30))
+    ratio = jnp.where((tr_pdf > 0)[:, None],
+                      tr_a / tr_pdf_det[:, None], 0.0)
+    throughput = jnp.where(in_medium[:, None], throughput * ratio, throughput)
+
+    escaped = in_medium & ~mei.valid
+    act_medium = in_medium & mei.valid
+
+    # null vs real split (biovolpath.cpp:244-251)
+    u_nr, sampler = sampler.next_1d()
+    st_c = _index_spectrum(mei.sigma_t, st.channel)
+    maj_c = _index_spectrum(mei.combined_extinction, st.channel)
+    null_scatter = u_nr >= st_c / jnp.maximum(maj_c, 1e-30)
+    act_null = act_medium & null_scatter
+    act_real = act_medium & ~null_scatter
+
+    sn_c = _index_spectrum(mei.sigma_n, st.channel)
+    w_null = mei.sigma_n * jax.lax.stop_gradient(
+        maj_c / jnp.maximum(sn_c, 1e-30))[:, None]
+    throughput = jnp.where(act_null[:, None], throughput * w_null, throughput)
+
+    depth = jnp.where(act_real, depth + 1, depth)
+    reached_max = depth >= scene.max_depth
+    act_real &= ~reached_max
+
+    is_bio = medium_is_bio(scene, st.medium) & in_medium
+    has_bio = _has_bio(scene)
+
+    # real scatter weights
+    w_real_stock = mei.sigma_s * jax.lax.stop_gradient(
+        maj_c / jnp.maximum(st_c, 1e-30))[:, None]
+    if has_bio:
+        w_real = jnp.where(is_bio[:, None], mei.transmittance, w_real_stock)
+        # absorbed bio paths erase the channel's accumulated result
+        # (biovolpath.cpp:297-300)
+        kill = in_medium[:, None] & (mei.transmittance == 0.0)
+        L = jnp.where(kill, 0.0, L)
+        tissue_depth = jnp.where(
+            act_real & is_bio,
+            tissue_depth + jnp.abs(st.ray_d[:, 2] * mei.t), tissue_depth)
+    else:
+        w_real = w_real_stock
+    throughput = jnp.where(act_real[:, None], throughput * w_real, throughput)
+
+    ptype, g = medium_phase(scene, st.medium)
+    nee_med = act_real & ~is_bio & (depth + 1 < scene.max_depth)
+    if scene.integrator not in ("volpath", "volpathmis", "prbvolpath"):
+        nee_med = jnp.zeros_like(nee_med)  # biovolpath: no medium NEE
+
+    # ---------------- phase sampling ----------------
+    throughput_pre_phase = throughput
+    u2p, sampler = sampler.next_2d()
+    wo_med, pw, ppdf = phase_sample(ptype, g, st.ray_d, u2p)
+    act_real &= ppdf > 0
+    throughput = jnp.where(act_real[:, None], throughput * pw[:, None],
+                           throughput)
+
+    # ================= surface interactions =================
+    active_surface = (active & ~in_medium) | escaped
+    bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
+
+    # emission gathered along the current ray
+    em_val, eidx = eval_emitter_hit(scene, si, st.ray_d)
+    env_val = eval_environment(scene, st.ray_d)
+    esc_env = ~si.valid
+    if scene.emitters.env_index >= 0:
+        eidx_mis = jnp.where(esc_env,
+                             jnp.full((n,), scene.emitters.env_index,
+                                      jnp.int32), eidx)
+    else:
+        eidx_mis = eidx
+    count_direct = (st.depth == 0) | st.specular_chain
+    em_pdf = pdf_emitter_direction(scene, st.prev_p, eidx_mis, si.p, si.ng,
+                                   st.ray_d)
+    em_pdf = jnp.where(count_direct, 0.0, em_pdf)
+    mis_b = m.mis_weight(st.prev_pdf, em_pdf)
+    contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0) \
+        + jnp.where(esc_env[:, None], env_val, 0.0)
+    hide = scene.hide_emitters & (st.depth == 0)
+    gather = active_surface & ~hide & ~reached_max
+    L = L + jnp.where(gather[:, None],
+                      throughput * contrib * mis_b[:, None], 0.0)
+
+    active_surface &= si.valid & ~reached_max
+    valid = st.valid | active_surface | act_real
+
+    # ---------------- NEE (one shared attenuated walk for medium-scatter
+    # and surface lanes — they are mutually exclusive per lane) -----------
+    flags = scene.bsdfs.flags[jnp.maximum(bsdf_idx, 0)]
+    smooth_here = (flags & F_SMOOTH) != 0
+    nee_s = active_surface & smooth_here & (depth + 1 < scene.max_depth)
+    nee_any = nee_s | nee_med
+    ref_p = jnp.where(nee_med[:, None], mei.p, si.p)
+    ds_s, emw_s, sampler = sample_emitter_attenuated(
+        scene, ref_p, st.medium, st.channel, tissue_depth, sampler, nee_any,
+        scene.max_depth, bounded_nee)
+    wo_local = si.to_local(ds_s.d)
+    bval, bpdf = bsdf_eval_pdf(scene, si, bsdf_idx, wo_local)
+    ph_val = phase_eval(ptype, g, m.dot(st.ray_d, ds_s.d))
+    cpdf = jnp.where(nee_med, ph_val, bpdf)
+    cval = jnp.where(nee_med[:, None], ph_val[:, None], bval)
+    mis_e = m.mis_weight(ds_s.pdf, jnp.where(ds_s.delta, 0.0, cpdf))
+    tp_nee = jnp.where(nee_med[:, None], throughput_pre_phase, throughput)
+    L = L + jnp.where(nee_any[:, None],
+                      tp_nee * cval * emw_s * mis_e[:, None], 0.0)
+
+    # ---------------- BSDF sampling ----------------
+    ub1, sampler = sampler.next_1d()
+    ub2, sampler = sampler.next_2d()
+    bs = bsdf_sample(scene, si, bsdf_idx, ub1, ub2)
+    wo_surf = si.to_world(bs.wo)
+    surf_ok = active_surface & (bs.pdf > 0)
+    non_null = surf_ok & ((bs.sampled_type & F_NULL) == 0)
+    throughput = jnp.where(surf_ok[:, None], throughput * bs.weight,
+                           throughput)
+    eta = jnp.where(surf_ok, st.eta * bs.eta, st.eta)
+    depth = jnp.where(non_null, depth + 1, depth)
+    new_spec = (bs.sampled_type & F_DELTA) != 0
+
+    # medium transition across the boundary
+    new_medium = jnp.where(surf_ok & _is_transition(scene, si),
+                           _target_medium(scene, si, wo_surf), st.medium)
+
+    # ---------------- assemble next ray ----------------
+    sr = si.spawn_ray(wo_surf)
+    next_o = jnp.where(act_real[:, None], mei.p,
+                       jnp.where(act_null[:, None], mei.p,
+                                 jnp.where(surf_ok[:, None], sr.o, st.ray_o)))
+    next_d = jnp.where(act_real[:, None], wo_med,
+                       jnp.where(surf_ok[:, None], wo_surf, st.ray_d))
+
+    prev_p = jnp.where(act_real[:, None], mei.p,
+                       jnp.where(non_null[:, None], si.p, st.prev_p))
+    prev_pdf = jnp.where(act_real, ppdf,
+                         jnp.where(non_null, bs.pdf, st.prev_pdf))
+    specular_chain = jnp.where(act_real, False,
+                               jnp.where(non_null, new_spec,
+                                         st.specular_chain))
+    # null bsdf / null collision keep the specular chain flag
+    alive = (act_real | act_null | surf_ok) \
+        & jnp.any(throughput != 0.0, -1) & (depth < scene.max_depth)
+
+    # ---------------- RR ----------------
+    urr, sampler = sampler.next_1d()
+    q = jnp.minimum(jnp.max(throughput, -1) * eta * eta, 0.95)
+    perform_rr = depth > scene.rr_depth
+    rr_keep = (urr < q) | ~perform_rr
+    throughput = jnp.where(
+        perform_rr[:, None],
+        throughput / jnp.maximum(jax.lax.stop_gradient(q), 1e-8)[:, None],
+        throughput)
+    alive &= rr_keep
+
+    return st.replace(
+        active=alive,
+        depth=depth,
+        ray_o=next_o,
+        ray_d=next_d,
+        L=L,
+        throughput=throughput,
+        eta=eta,
+        medium=jnp.where(act_real | act_null, st.medium, new_medium),
+        tissue_depth=tissue_depth,
+        prev_p=prev_p,
+        prev_pdf=prev_pdf,
+        specular_chain=specular_chain,
+        valid=valid,
+        sampler=sampler,
+    )
+
+
+def sample(scene: Scene, sampler: Sampler, ray: Ray, mode: str = "primal"):
+    st = init_state(ray, sampler, scene)
+    bounded = mode != "primal"
+    # null collisions / null bsdfs don't increment depth, so cap total
+    # iterations at a multiple of max_depth (the reference relies on RR).
+    max_iters = scene.max_depth * 4
+    if mode == "primal":
+        def cond(c):
+            s, it = c
+            return jnp.any(s.active) & (it < max_iters)
+
+        def body(c):
+            s, it = c
+            return bounce(scene, s, bounded), it + 1
+        st, _ = jax.lax.while_loop(cond, body, (st, 0))
+    else:
+        body = jax.checkpoint(lambda s: bounce(scene, s, bounded))
+
+        def step(s, _):
+            return body(s), None
+        st, _ = jax.lax.scan(step, st, None, length=scene.max_depth)
+    return st.L, st.valid, st.sampler

@@ -1,0 +1,252 @@
+"""Participating-media sampling over the wavefront.
+
+Functional re-derivation of the reference medium plugins:
+  * homogeneous   — closed-form free flight (medium.cpp:42-82 base impl)
+  * heterogeneous — majorant sampling; null/real split happens in the
+                    integrator (heterogeneous.cpp:163-194 semantics)
+  * glissonCapsule / parenchyma / liver — the fork's layered bio media
+    (glissonCapsule.cpp:229-308, parenchyma.cpp, liver.cpp:227-539):
+    competing-exponential element sampling with EBioType absorb/attenuate
+    rules, selected by the `tissue_depth` carried in the integrator state.
+
+Everything is one masked select over `scene.media.types_present` — no
+virtual calls, one fused kernel.
+
+Design deviations from the reference (documented intentionally):
+  * The reference draws bio-media randoms from a per-lane PCG32 seeded by
+    bit-reinterpreting the 1D sample (liver.cpp:233-235); we draw the needed
+    uniforms from the lane's counter-based sampler directly — same
+    distribution, replayable for PRB.
+  * liver.cpp:246-250 selects the glisson layer with overlapping masked
+    assignments whose *last* write wins, collapsing all depths <= layer4Limit
+    into layer 3; the intent (per the layer-limit parameters) is binning by
+    depth, which we implement: layer = #limits below tissue_depth.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import MediumInteraction, INF
+from ..scene.ir import (MEDIUM_GLISSON, MEDIUM_HETEROGENEOUS,
+                        MEDIUM_HOMOGENEOUS, MEDIUM_LIVER, MEDIUM_PARENCHYMA,
+                        Scene)
+
+# EBioType codes (reference src/media/organic_material.h:30-58)
+BIO_ATTENUATOR = 0
+BIO_ABSORBER = 1
+BIO_ABSORBER_AND_ATTENUATOR = 2
+HEPATOCYTE_MEAN_DIAMETER = 0.0025  # liver.cpp:515
+
+
+def _index_spectrum(spec, channel):
+    """spec: (N,3), channel: (N,) -> (N,). (biovolpath.cpp:84-93)"""
+    return jnp.take_along_axis(spec, channel[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+
+
+def _eval_grid(scene: Scene, gid, p):
+    """Trilinear grid lookup: world point -> density (N,).
+    (reference src/volumes/grid.cpp interpolation)."""
+    g2l = scene.media.grid_to_local[gid]
+    pl = jnp.einsum("nij,nj->ni", g2l[:, :3, :3], p) + g2l[:, :3, 3]
+    whd = scene.media.grid_whd[gid]          # (N, 3) = (D, H, W)
+    D = whd[:, 0].astype(jnp.float32)
+    H = whd[:, 1].astype(jnp.float32)
+    W = whd[:, 2].astype(jnp.float32)
+    x = jnp.clip(pl[:, 0], 0.0, 1.0) * (W - 1)
+    y = jnp.clip(pl[:, 1], 0.0, 1.0) * (H - 1)
+    z = jnp.clip(pl[:, 2], 0.0, 1.0) * (D - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    z0 = jnp.floor(z).astype(jnp.int32)
+    fx, fy, fz = x - x0, y - y0, z - z0
+
+    def fetch(zi, yi, xi):
+        zi = jnp.clip(zi, 0, whd[:, 0] - 1)
+        yi = jnp.clip(yi, 0, whd[:, 1] - 1)
+        xi = jnp.clip(xi, 0, whd[:, 2] - 1)
+        return scene.media.grids[gid, zi, yi, xi, 0]
+
+    c = 0.0
+    for dz in (0, 1):
+        wz = jnp.where(dz == 0, 1 - fz, fz)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1 - fy, fy)
+            for dx in (0, 1):
+                wx = jnp.where(dx == 0, 1 - fx, fx)
+                c = c + wz * wy * wx * fetch(z0 + dz, y0 + dy, x0 + dx)
+    return c
+
+
+def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
+                          tissue_depth):
+    """Competing-exponential element sampling for the bio media.
+
+    Returns (bio_type, distance, sampler).  Mirrors liver.cpp computeDistance
+    (:227-477) / glissonCapsule.cpp computeDistance (:229-308):
+      glisson layers: 2 attenuators (collagen, elastin), per-layer sigma;
+      parenchyma: 3 absorbers (blood, bile, lipid-water) + hepatocyte with
+      distance -log10(sigma+1)*log(r).
+    """
+    n = channel.shape[0]
+    # layer binning by tissue depth (see module docstring re liver.cpp bug)
+    limits = prm[:, 36:40]                          # (N, 4)
+    layer = jnp.sum(tissue_depth[:, None] > limits, axis=1)  # 0..4
+    # PARENCHYMA medium is always the parenchyma branch; GLISSON is always
+    # glisson (clamped to layer 3); LIVER switches on layer.
+    layer = jnp.where(mtype == MEDIUM_PARENCHYMA, 4, layer)
+    layer = jnp.where(mtype == MEDIUM_GLISSON, jnp.minimum(layer, 3), layer)
+    in_glisson = layer < 4
+
+    lay = jnp.minimum(layer, 3)
+    coll = jnp.take_along_axis(
+        prm[:, 12:24].reshape(n, 4, 3), lay[:, None, None], 1)[:, 0]
+    elas = jnp.take_along_axis(
+        prm[:, 24:36].reshape(n, 4, 3), lay[:, None, None], 1)[:, 0]
+
+    # parenchyma coefficients: PARENCHYMA rows pack at 12.., LIVER at 40..
+    is_liver = mtype == MEDIUM_LIVER
+    blood = jnp.where(is_liver[:, None], prm[:, 40:43], prm[:, 12:15])
+    bile = jnp.where(is_liver[:, None], prm[:, 43:46], prm[:, 15:18])
+    lipid = jnp.where(is_liver[:, None], prm[:, 3:6], prm[:, 18:21])
+    hep = jnp.where(is_liver, prm[:, 46], prm[:, 21])
+
+    # six independent uniforms (2 glisson + 4 parenchyma elements)
+    us = []
+    for _ in range(6):
+        u, sampler = sampler.next_1d()
+        us.append(jnp.maximum(u, 1e-7))   # guard r==0 (liver.cpp:322)
+
+    def exp_dist(sig_rgb, u):
+        att = _index_spectrum(sig_rgb, channel)
+        d = -jnp.log(u) / jnp.maximum(att, 1e-20)
+        return jnp.where(att > 0, d, INF)
+
+    # ---- glisson branch: collagen vs elastin, both attenuators ----
+    d_coll = exp_dist(coll, us[0])
+    d_elas = exp_dist(elas, us[1])
+    g_dist = jnp.minimum(d_coll, d_elas)
+    g_type = jnp.full((n,), BIO_ATTENUATOR, jnp.int32)
+
+    # ---- parenchyma branch: blood/bile/lipid absorbers + hepatocyte ----
+    d_blood = exp_dist(blood, us[2])
+    d_bile = exp_dist(bile, us[3])
+    d_lipid = exp_dist(lipid, us[4])
+    # hepatocyte: scalar sigma; reference uses -log10(sigma+1)*log(r)
+    # (liver.cpp:376-378)
+    log10_hep = jnp.log(jnp.maximum(hep + 1.0, 1.0)) / jnp.log(10.0)
+    d_hep = jnp.where(hep > 0, -log10_hep * jnp.log(us[5]), INF)
+
+    dists = jnp.stack([d_blood, d_bile, d_lipid, d_hep], -1)
+    elem = jnp.argmin(dists, axis=-1)
+    p_dist = jnp.min(dists, axis=-1)
+    p_type = jnp.where(elem == 3, BIO_ABSORBER_AND_ATTENUATOR,
+                       BIO_ABSORBER).astype(jnp.int32)
+
+    bio_type = jnp.where(in_glisson, g_type, p_type)
+    distance = jnp.where(in_glisson, g_dist, p_dist)
+    return bio_type, distance, sampler
+
+
+def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
+                       sampler, channel, tissue_depth, active):
+    """Sample a free-flight distance in each lane's medium.
+
+    Returns (mei: MediumInteraction, sampler).  mei.t = inf means the lane
+    escaped the medium (reached the surface at maxt first).  For bio media
+    mei.transmittance carries the one-hot/kill semantics
+    (liver.cpp:521-534); stock media leave it at 1.
+    """
+    n = ray_o.shape[0]
+    midx = jnp.maximum(medium_idx, 0)
+    med = scene.media
+    mtype = med.mtype[midx]
+    prm = med.params[midx]
+    scale = prm[:, 6]
+    sigma_t_base = prm[:, 0:3] * scale[:, None]
+    albedo = prm[:, 3:6]
+
+    u, sampler = sampler.next_1d()
+    u = jnp.minimum(u, 1.0 - 1e-7)
+
+    tp = med.types_present
+    majorant = sigma_t_base
+    if MEDIUM_HETEROGENEOUS in tp:
+        maj_het = prm[:, 10:11] * scale[:, None] * jnp.ones((n, 3))
+        majorant = jnp.where((mtype == MEDIUM_HETEROGENEOUS)[:, None],
+                             maj_het, majorant)
+    maj_c = _index_spectrum(majorant, channel)
+
+    # ---- free-flight distance ----
+    t_exp = -jnp.log(1.0 - u) / jnp.maximum(maj_c, 1e-20)
+    dist = t_exp
+    bio_type = jnp.full((n,), BIO_ATTENUATOR, jnp.int32)
+    bio_present = any(t in tp for t in
+                      (MEDIUM_GLISSON, MEDIUM_PARENCHYMA, MEDIUM_LIVER))
+    if bio_present:
+        btype, bdist, sampler = _bio_compute_distance(
+            scene, midx, mtype, prm, channel, sampler, tissue_depth)
+        is_bio = mtype >= MEDIUM_GLISSON
+        dist = jnp.where(is_bio, bdist, dist)
+        bio_type = jnp.where(is_bio, btype, bio_type)
+    else:
+        is_bio = jnp.zeros((n,), bool)
+
+    valid = active & (dist <= maxt) & (dist > 0)
+    t = jnp.where(valid, dist, INF)
+    p = ray_o + ray_d * jnp.where(valid, dist, 0.0)[:, None]
+
+    # ---- local scattering coefficients at the sampled point ----
+    sigma_t = sigma_t_base
+    if MEDIUM_HETEROGENEOUS in tp:
+        gid = jnp.maximum(med.grid_id[midx], 0)
+        dens = _eval_grid(scene, gid, p) * scale
+        sig_het = dens[:, None] * jnp.ones((n, 3))
+        sigma_t = jnp.where((mtype == MEDIUM_HETEROGENEOUS)[:, None],
+                            sig_het, sigma_t)
+    sigma_s = sigma_t * albedo
+    sigma_n = jnp.maximum(majorant - sigma_t, 0.0)
+
+    # ---- bio transmittance semantics (liver.cpp:499-534) ----
+    transmittance = jnp.ones((n, 3))
+    if bio_present:
+        absorbed = (bio_type == BIO_ABSORBER) \
+            | ((bio_type == BIO_ABSORBER_AND_ATTENUATOR)
+               & (dist < HEPATOCYTE_MEAN_DIAMETER))
+        onehot = jax.nn.one_hot(channel, 3, dtype=jnp.float32)
+        tr_bio = jnp.where(valid[:, None],
+                           jnp.where(absorbed[:, None], 0.0, onehot),
+                           jnp.ones((n, 3)))
+        transmittance = jnp.where(is_bio[:, None], tr_bio, transmittance)
+        # absorbed lanes scatter nowhere: mark invalid scatter but keep t
+        # finite so the integrator can kill them via transmittance==0
+
+    mei = MediumInteraction(
+        t=t, p=p, sigma_s=sigma_s, sigma_n=sigma_n, sigma_t=sigma_t,
+        combined_extinction=majorant, transmittance=transmittance)
+    return mei, sampler
+
+
+def transmittance_eval_pdf(scene: Scene, medium_idx, mei: MediumInteraction,
+                           surf_t):
+    """Analytic transmittance + free-flight pdf along [0, min(mei.t, surf_t)]
+    wrt the majorant (reference medium.cpp:92-104)."""
+    t = jnp.minimum(mei.t, surf_t)
+    t = jnp.where(jnp.isfinite(t), t, 0.0)
+    tr = jnp.exp(-t[:, None] * mei.combined_extinction)
+    pdf = jnp.where((surf_t < mei.t)[:, None], tr,
+                    tr * mei.combined_extinction)
+    return tr, pdf
+
+
+def medium_phase(scene: Scene, medium_idx):
+    """(phase_type, g) lanes for the medium table."""
+    midx = jnp.maximum(medium_idx, 0)
+    prm = scene.media.params[midx]
+    return prm[:, 8].astype(jnp.int32), prm[:, 7]
+
+
+def medium_is_bio(scene: Scene, medium_idx):
+    midx = jnp.maximum(medium_idx, 0)
+    return scene.media.mtype[midx] >= MEDIUM_GLISSON

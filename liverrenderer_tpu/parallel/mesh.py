@@ -1,0 +1,105 @@
+"""Multi-chip scaling: shard the sample wavefront over a device mesh.
+
+This is the distributed backend the reference never had (SURVEY par.2.5 P7:
+no MPI/NCCL anywhere — single-node nanothread + one CUDA device).  The
+TPU-native design per BASELINE.json's north star:
+
+  * mesh axis "dp": the pixelxspp wavefront is sharded by *sample index* —
+    each device renders spp/n_dev samples of every pixel with its own
+    counter-based RNG streams (deterministic, device-count-invariant:
+    sample i is identical no matter which device draws it),
+  * scene/BVH/parameter tensors are replicated (broadcast once),
+  * each device splats into a local film accumulator; one psum over "dp"
+    merges films (the only collective in the forward pass),
+  * under jax.grad, the transpose of that psum delivers the adjoint image to
+    every device and parameter gradients are psum-reduced automatically —
+    the "psum grads overlapped with the adjoint sweep" of the plan.
+
+Works identically on a virtual CPU mesh (tests) and a real TPU slice over
+ICI; multi-host needs only jax.distributed.initialize upstream.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import film as film_mod
+from ..integrators.common import render_pass
+from ..scene.ir import Scene
+from ..util import apply_params
+
+AXIS = "dp"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (AXIS,))
+
+
+def _local_pass(scene: Scene, seed, spp_local: int, mode: str):
+    """Per-device body: render this device's sample-index slab."""
+    dev = jax.lax.axis_index(AXIS)
+    offset = dev * spp_local
+    acc = render_pass(scene, seed, spp_local, offset, mode)
+    return jax.lax.psum(acc, AXIS)
+
+
+def render_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
+                   seed: int = 0, mode: str = "primal"):
+    """Distributed render: image identical (up to summation order) to the
+    single-device render with the same total spp."""
+    spp = spp or scene.spp
+    n_dev = mesh.devices.size
+    assert spp % n_dev == 0, f"spp {spp} must divide over {n_dev} devices"
+    spp_local = spp // n_dev
+
+    fn = jax.shard_map(
+        partial(_local_pass, spp_local=spp_local, mode=mode),
+        mesh=mesh,
+        in_specs=(P(), P()),     # scene + seed replicated
+        out_specs=P(),           # film fully replicated after psum
+        check_vma=False,         # scan carries flip varying-ness mid-loop
+    )
+
+    @partial(jax.jit)
+    def run(sc, sd):
+        return film_mod.develop(fn(sc, sd))
+
+    return run(scene, jnp.asarray(seed, jnp.uint32))
+
+
+def make_train_step(scene: Scene, mesh: Mesh, loss_fn, optimizer,
+                    spp: int, mode: str = "ad"):
+    """Build a jitted distributed inverse-rendering step:
+    (params, opt_state, target, seed) -> (params, opt_state, loss).
+
+    The full PRB-style step — forward render, adjoint sweep, parameter
+    psum, Adam update — compiles to ONE XLA program on the mesh.
+    """
+    n_dev = mesh.devices.size
+    assert spp % n_dev == 0
+    spp_local = spp // n_dev
+
+    local = jax.shard_map(
+        partial(_local_pass, spp_local=spp_local, mode=mode),
+        mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False)
+
+    def loss_of(params, target, seed):
+        sc = apply_params(scene, params)
+        img = film_mod.develop(local(sc, seed))
+        return loss_fn(img, target)
+
+    @jax.jit
+    def step(params, opt_state, target, seed):
+        loss, grads = jax.value_and_grad(loss_of)(params, target, seed)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

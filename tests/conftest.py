@@ -12,8 +12,15 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
 import numpy as np
 import pytest
+
+# Persistent compilation cache: the wavefront megakernels are large graphs
+# (minutes to compile on this 1-core CPU); cache across test sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/lr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 @pytest.fixture

@@ -1,0 +1,147 @@
+"""Gradient correctness: AD vs finite differences / analytic gradients.
+
+Mirrors the reference's AD test strategy (src/integrators/tests/
+test_ad_integrators.py:41-140): per-config scenes, forward+backward gradients
+checked against finite differences with correlated samples (same
+counter-based RNG seeds on both FD evaluations, so FD noise cancels).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import liverrenderer_tpu as lr
+from liverrenderer_tpu.scene.builder import load_dict
+
+
+def _box_scene(albedo=0.6, radiance=5.0):
+    """Tiny enclosed box: one diffuse wall + area light."""
+    return load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {
+            "type": "perspective", "fov": 45.0,
+            "to_world": lr.Transform().look_at([0, 0.5, 1.2], [0, 0, 0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 16, "height": 16,
+                     "rfilter": {"type": "box"}},
+        },
+        "wall": {"type": "rectangle",
+                 "bsdf": {"type": "diffuse",
+                          "reflectance": {"type": "rgb",
+                                          "value": [albedo] * 3}}},
+        "lamp": {"type": "rectangle",
+                 "to_world": lr.Transform().translate([0, 0, 2.0])
+                             .rotate([1, 0, 0], 180).scale(0.4),
+                 "emitter": {"type": "area",
+                             "radiance": {"type": "rgb",
+                                          "value": [radiance] * 3}}},
+    })
+
+
+def _loss(img):
+    return jnp.mean(img)
+
+
+def test_albedo_gradient_vs_fd():
+    """d(mean image)/d(wall albedo): direct light is linear in albedo, so
+    the gradient is exact; compare AD against correlated FD."""
+    scene = _box_scene()
+    params = {"textures.data": scene.textures.data}
+    loss, grads, img = lr.render_grad(scene, params, _loss, spp=32, seed=7)
+    g_ad = np.asarray(grads["textures.data"])
+
+    eps = 1e-2
+    def loss_at(delta):
+        td = scene.textures.data.at[:, 0].add(delta)  # red channel of all tex
+        sc = lr.apply_params(scene, {"textures.data": td})
+        return float(jnp.mean(lr.render(sc, spp=32, seed=7, mode="ad")))
+
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    ad = g_ad[:, 0].sum()
+    np.testing.assert_allclose(ad, fd, rtol=0.05)
+    assert abs(ad) > 1e-5  # non-trivial gradient
+
+
+def test_emitter_radiance_gradient_vs_fd():
+    """d loss / d (area light radiance) — linear, must match FD tightly."""
+    scene = _box_scene()
+    params = {"emitters.params": scene.emitters.params}
+    loss, grads, img = lr.render_grad(scene, params, _loss, spp=32, seed=3)
+    g_ad = np.asarray(grads["emitters.params"])[0, 0:3].sum()
+
+    eps = 1e-2
+    def loss_at(delta):
+        ep = scene.emitters.params.at[:, 0:3].add(delta)
+        sc = lr.apply_params(scene, {"emitters.params": ep})
+        return float(jnp.mean(lr.render(sc, spp=32, seed=3, mode="ad")))
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    np.testing.assert_allclose(g_ad, fd, rtol=0.05)
+    assert g_ad > 0  # brighter light -> brighter image
+
+
+def test_sigma_t_gradient_analytic():
+    """Beer-Lambert slab: L = exp(-2 r sigma_t) so dL/dsigma = -2 L.
+    Checks the volumetric transport gradient path (detached free-flight
+    sampling; prbvolpath.py differentiable delta tracking equivalent)."""
+    sigma_t = 0.6
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 8},
+        "sensor": {
+            "type": "perspective", "fov": 3.0,
+            "to_world": lr.Transform().look_at([0, 0, 5], [0, 0, 0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 4, "height": 4,
+                     "rfilter": {"type": "box"}},
+        },
+        "ball": {"type": "sphere", "radius": 1.0, "bsdf": {"type": "null"},
+                 "interior": {"type": "homogeneous",
+                              "sigma_t": {"type": "rgb",
+                                          "value": [sigma_t] * 3},
+                              "albedo": {"type": "rgb", "value": [0.0] * 3}}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [1.0] * 3}},
+    })
+    params = {"media.params": scene.media.params}
+    loss, grads, img = lr.render_grad(scene, params, _loss, spp=512, seed=5)
+    # all rays traverse chord ~2 (small fov): dL/dsigma_c for each channel
+    g = np.asarray(grads["media.params"])[0, 0:3].sum()
+    L = float(np.asarray(img).mean())
+    expect = -2.0 * L
+    np.testing.assert_allclose(g, expect, rtol=0.1)
+
+
+def test_forward_mode_runs():
+    scene = _box_scene()
+    params = {"emitters.params": scene.emitters.params}
+    img, dimg = lr.render_fwd_grad(scene, params, spp=8, seed=1)
+    assert np.isfinite(np.asarray(dimg)).all()
+    assert np.asarray(dimg).max() > 0
+
+
+def test_inverse_rendering_albedo_recovery():
+    """Mini inverse problem: recover the wall albedo from a target render
+    with Adam (the reference's optimization-loop capability,
+    ad/optimizers usage in tutorials)."""
+    import optax
+    target_albedo = 0.25
+    scene_t = _box_scene(albedo=target_albedo)
+    target = lr.render(scene_t, spp=64, seed=11)
+
+    scene = _box_scene(albedo=0.7)
+    params = {"textures.data": scene.textures.data}
+
+    def loss_fn(img):
+        return jnp.mean((img - target) ** 2)
+
+    opt = optax.adam(0.1)
+    opt_state = opt.init(params)
+    for it in range(12):
+        loss, grads, _ = lr.render_grad(scene, params, loss_fn, spp=16,
+                                        seed=100 + it)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        params = {k: jnp.clip(v, 0.0, 1.0) for k, v in params.items()}
+    got = float(np.asarray(params["textures.data"])[0, 0:3].mean())
+    assert abs(got - target_albedo) < 0.08, got
