@@ -145,7 +145,12 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         prm = scene.media.params[midx]
         sig = prm[:, 0:3] * prm[:, 6:7]
         in_med = (medium >= 0)[:, None]
-        tr = jnp.where(in_med, jnp.exp(-dist[:, None] * sig), 1.0)
+        # env emitters have dist=inf: exp(-inf*sig) is 0 but its sigma
+        # derivative is nan (0*inf); sanitize so the limit (0, grad 0) holds
+        finite = jnp.isfinite(dist)[:, None]
+        dist_f = jnp.where(finite, dist, 0.0)[:, None]
+        beer = jnp.where(finite, jnp.exp(-dist_f * sig), 0.0)
+        tr = jnp.where(in_med, beer, 1.0)
         tr = jnp.where((active & ~occ)[:, None], tr, 0.0)
         return ds, em_weight * tr, sampler
 
@@ -173,8 +178,13 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
             channel, tissue_depth, in_med)
         tr_a, ffpdf = transmittance_eval_pdf(scene, st["medium"], mei, surf_t)
         tr_pdf = _index_spectrum(ffpdf, channel)
-        ratio = jnp.where((tr_pdf > 0)[:, None],
-                          tr_a / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0)
+        # sampling densities are detached (PRB rule); without stop_gradient
+        # the 1/max(x,1e-30)^2 backward Jacobian overflows fp32 to inf and
+        # 0-cotangent masked lanes turn it into nan
+        ratio = jnp.where(
+            (tr_pdf > 0)[:, None],
+            tr_a / jax.lax.stop_gradient(
+                jnp.maximum(tr_pdf, 1e-30))[:, None], 0.0)
         tr = jnp.where(in_med[:, None], st["tr"] * ratio, st["tr"])
 
         scattered = in_med & mei.valid
@@ -182,7 +192,8 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         # stock media: ratio-track through the (null) collision
         maj_c = _index_spectrum(mei.combined_extinction, channel)
         sn_c = _index_spectrum(mei.sigma_n, channel)
-        w_null = mei.sigma_n * (maj_c / jnp.maximum(sn_c, 1e-30))[:, None]
+        w_null = mei.sigma_n * jax.lax.stop_gradient(
+            maj_c / jnp.maximum(sn_c, 1e-30))[:, None]
         w_evt = jnp.where(is_bio[:, None], mei.transmittance, w_null)
         tr = jnp.where(scattered[:, None], tr * w_evt, tr)
 
@@ -192,9 +203,11 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
             scene, si, scene.shape_bsdf[jnp.maximum(si.shape, 0)])
         tr = jnp.where(hit_surface[:, None], tr * null_tr, tr)
 
-        # advance
-        step = jnp.where(scattered, mei.t, jnp.where(hit_surface, si.t + 2e-4,
-                                                     st["remaining"]))
+        # advance — only lanes that keep walking move; escaped/dead lanes
+        # must not step by remaining (inf for env emitters: 0*inf -> nan
+        # origins whose intersections poison masked-lane gradients)
+        step = jnp.where(scattered, mei.t,
+                         jnp.where(hit_surface, si.t + 2e-4, 0.0))
         o = st["o"] + ds.d * step[:, None]
         remaining = st["remaining"] - step
         done = active & ~scattered & ~hit_surface   # escaped to the emitter

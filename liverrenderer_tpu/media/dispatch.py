@@ -193,6 +193,12 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
     else:
         is_bio = jnp.zeros((n,), bool)
 
+    # Detached sampling (prbvolpath differentiable delta tracking): the
+    # sampled collision distance/point carries no derivative; parameter
+    # gradients flow through the tr/pdf ratios and sigma evaluations only.
+    # Without this, d(mei.p)/d(sigma) reaches downstream sqrt(disc~0)
+    # intersection pullbacks and turns masked lanes into nan.
+    dist = jax.lax.stop_gradient(dist)
     valid = active & (dist <= maxt) & (dist > 0)
     t = jnp.where(valid, dist, INF)
     p = ray_o + ray_d * jnp.where(valid, dist, 0.0)[:, None]

@@ -135,9 +135,10 @@ def test_inverse_rendering_albedo_recovery():
     def loss_fn(img):
         return jnp.mean((img - target) ** 2)
 
-    opt = optax.adam(0.1)
+    # constant lr oscillates around the minimum (momentum); decay to land
+    opt = optax.adam(optax.exponential_decay(0.1, 5, 0.5))
     opt_state = opt.init(params)
-    for it in range(12):
+    for it in range(16):
         loss, grads, _ = lr.render_grad(scene, params, loss_fn, spp=16,
                                         seed=100 + it)
         updates, opt_state = opt.update(grads, opt_state)
