@@ -39,6 +39,12 @@ class BVHArrays:
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHArrays:
     """Binned-SAH BVH over triangles given by their vertices (T,3) each."""
+    from .. import _native
+    if _native.available() and len(v0) > 0:
+        (node_min, node_max, right, first, count, perm,
+         depth) = _native.bvh_build(v0, v1, v2)
+        return BVHArrays(node_min, node_max, right, first, count, perm,
+                         depth)
     T = len(v0)
     if T == 0:
         return BVHArrays(

@@ -214,8 +214,12 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         medium2 = jnp.where(
             hit_surface & _is_transition(scene, si),
             _target_medium(scene, si, ds.d), st["medium"])
+        # tr cutoff: a shadow walk whose transmittance fell below any
+        # visible contribution must terminate — without it a grazing lane
+        # (step ~ 2e-4, remaining = inf toward an env emitter) can cycle
+        # the while_loop until the TPU watchdog kills the program
         alive = (scattered | hit_surface) & (remaining > 0) \
-            & jnp.any(tr != 0.0, -1) & active
+            & (jnp.max(tr, -1) > 1e-6) & active
         return dict(active=alive, o=o, remaining=remaining, medium=medium2,
                     tr=tr, sampler=sampler)
 
@@ -223,7 +227,12 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         for _ in range(max_steps):
             st = body(st)
     else:
-        st = jax.lax.while_loop(lambda s: jnp.any(s["active"]), body, st)
+        def cond(c):
+            s, it = c
+            return jnp.any(s["active"]) & (it < 4096)
+
+        (st, _) = jax.lax.while_loop(
+            cond, lambda c: (body(c[0]), c[1] + 1), (st, 0))
 
     tr = jnp.where(active[:, None], st["tr"], 0.0)
     return ds, em_weight * tr, st["sampler"]

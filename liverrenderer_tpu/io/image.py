@@ -16,8 +16,7 @@ def read_image(path: str, srgb_to_linear: bool = True) -> np.ndarray:
     """Read an image to float32 (H, W, C>=3), linear RGB."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".exr":
-        from .exr import read_exr
-        return read_exr(path)
+        return read_exr_any(path)
     if ext == ".pfm":
         return _read_pfm(path)
     from PIL import Image
@@ -33,8 +32,12 @@ def write_image(path: str, img: np.ndarray):
     img = np.asarray(img, np.float32)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".exr":
-        from .exr import write_exr
-        write_exr(path, img)
+        from .. import _native
+        if _native.available():
+            _native.exr_write(path, img)
+        else:
+            from .exr import write_exr
+            write_exr(path, img)
         return
     if ext == ".pfm":
         _write_pfm(path, img)
@@ -42,6 +45,23 @@ def write_image(path: str, img: np.ndarray):
     from PIL import Image
     ldr = np.clip(linear_to_srgb_np(np.clip(img, 0, None)), 0, 1)
     Image.fromarray((ldr * 255 + 0.5).astype(np.uint8)).save(path)
+
+
+def read_exr_any(path: str) -> np.ndarray:
+    """EXR read: native OpenEXR (all codecs incl. PIZ) when built, else the
+    pure-python codec (none/zip only).  Channels reordered to RGB(A)/Y."""
+    from .. import _native
+    if not _native.available():
+        from .exr import read_exr
+        return read_exr(path)
+    img, names = _native.exr_read(path)
+    order = [n for n in ("R", "G", "B", "A") if n in names]
+    if len(order) >= 3:
+        img = img[..., [names.index(n) for n in order]]
+    elif "Y" in names:
+        img = np.repeat(img[..., names.index("Y"):names.index("Y") + 1],
+                        3, axis=-1)
+    return img
 
 
 def _read_pfm(path: str) -> np.ndarray:

@@ -664,6 +664,12 @@ class _Builder:
             if n_tris_real else \
             build_bvh(np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)))
 
+        from ..accel.pallas_intersect import pack_tris
+        tri_buf = pack_tris(v0, v1, v2) if n_tris_real else \
+            pack_tris(np.zeros((0, 3), np.float32),
+                      np.zeros((0, 3), np.float32),
+                      np.zeros((0, 3), np.float32))
+
         # emitter selection distribution (uniform, as reference default)
         n_e = len(self.e_type)
         e_weights = np.ones(max(n_e, 1), np.float32)
@@ -810,6 +816,7 @@ class _Builder:
             shape_area=jnp.asarray(self.s_area or [1.0], jnp.float32),
             tri_area_cdf=jnp.asarray(ta_cdf),
             tri_area=jnp.asarray(ta, jnp.float32),
+            tri_buf=jnp.asarray(tri_buf),
             bsdfs=bsdfs, emitters=emitters, textures=textures, media=media,
             bvh=bvh, sensor=sensor,
             n_shapes=n_s, n_tris=n_tris_real,

@@ -239,6 +239,8 @@ class Scene:
     # area-emitter triangle sampling: global cumulative triangle areas
     tri_area_cdf: Array       # (T,)
     tri_area: Array           # (T,)
+    # packed (Tpad, 12) p0/e1/e2 buffer for the Pallas intersect kernel
+    tri_buf: Array
     # ------------- tables -------------
     bsdfs: BSDFs
     emitters: Emitters

@@ -13,7 +13,17 @@ from . import geometry as geo
 def load_mesh(path: str, face_normals: bool = False) -> geo.MeshData:
     low = path.lower()
     if low.endswith(".obj"):
-        mesh = _load_obj(path)
+        from .. import _native
+        if _native.available():
+            verts, faces, nrms, uvs = _native.obj_load(path)
+            if nrms is not None:
+                bad = np.linalg.norm(nrms, axis=-1) < 1e-8
+                if bad.any():
+                    nrms[bad] = geo.compute_vertex_normals(verts,
+                                                           faces)[bad]
+            mesh = geo.MeshData(verts, faces, nrms, uvs)
+        else:
+            mesh = _load_obj(path)
     elif low.endswith(".ply"):
         mesh = _load_ply(path)
     else:

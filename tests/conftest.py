@@ -6,7 +6,10 @@ the virtual device count lets sharding tests validate the multi-chip path.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment force-registers a TPU PJRT plugin from
+# sitecustomize and ignores the JAX_PLATFORMS *env var*; only the config
+# update below actually selects the platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,8 @@ if "host_platform_device_count" not in flags:
 import jax
 import numpy as np
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the wavefront megakernels are large graphs
 # (minutes to compile on this 1-core CPU); cache across test sessions.
