@@ -304,8 +304,8 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
 
     ptype, g = medium_phase(scene, st.medium)
     nee_med = act_real & ~is_bio & (depth + 1 < scene.max_depth)
-    if scene.integrator not in ("volpath", "volpathmis", "prbvolpath"):
-        nee_med = jnp.zeros_like(nee_med)  # biovolpath: no medium NEE
+    if not scene.needs_medium_nee:
+        nee_med = jnp.zeros_like(nee_med)  # biovolpath / no stock media
 
     # ---------------- phase sampling ----------------
     throughput_pre_phase = throughput
@@ -330,9 +330,12 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     else:
         eidx_mis = eidx
     count_direct = (st.depth == 0) | st.specular_chain
-    em_pdf = pdf_emitter_direction(scene, st.prev_p, eidx_mis, si.p, si.ng,
-                                   st.ray_d)
-    em_pdf = jnp.where(count_direct, 0.0, em_pdf)
+    if scene.needs_surface_nee or scene.needs_medium_nee:
+        em_pdf = pdf_emitter_direction(scene, st.prev_p, eidx_mis, si.p,
+                                       si.ng, st.ray_d)
+        em_pdf = jnp.where(count_direct, 0.0, em_pdf)
+    else:
+        em_pdf = jnp.zeros((n,))  # no NEE anywhere: BSDF sampling owns MIS
     mis_b = m.mis_weight(st.prev_pdf, em_pdf)
     contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0) \
         + jnp.where(esc_env[:, None], env_val, 0.0)
@@ -345,24 +348,31 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     valid = st.valid | active_surface | act_real
 
     # ---------------- NEE (one shared attenuated walk for medium-scatter
-    # and surface lanes — they are mutually exclusive per lane) -----------
-    flags = scene.bsdfs.flags[jnp.maximum(bsdf_idx, 0)]
-    smooth_here = (flags & F_SMOOTH) != 0
-    nee_s = active_surface & smooth_here & (depth + 1 < scene.max_depth)
-    nee_any = nee_s | nee_med
-    ref_p = jnp.where(nee_med[:, None], mei.p, si.p)
-    ds_s, emw_s, sampler = sample_emitter_attenuated(
-        scene, ref_p, st.medium, st.channel, tissue_depth, sampler, nee_any,
-        scene.max_depth, bounded_nee)
-    wo_local = si.to_local(ds_s.d)
-    bval, bpdf = bsdf_eval_pdf(scene, si, bsdf_idx, wo_local)
-    ph_val = phase_eval(ptype, g, m.dot(st.ray_d, ds_s.d))
-    cpdf = jnp.where(nee_med, ph_val, bpdf)
-    cval = jnp.where(nee_med[:, None], ph_val[:, None], bval)
-    mis_e = m.mis_weight(ds_s.pdf, jnp.where(ds_s.delta, 0.0, cpdf))
-    tp_nee = jnp.where(nee_med[:, None], throughput_pre_phase, throughput)
-    L = L + jnp.where(nee_any[:, None],
-                      tp_nee * cval * emw_s * mis_e[:, None], 0.0)
+    # and surface lanes — they are mutually exclusive per lane).  Elided
+    # entirely at trace time when statically unreachable (delta-only
+    # surfaces + bio media: the liver scenes) — the walk costs ~40% of a
+    # bounce even fully masked. ------------------------------------------
+    if scene.needs_surface_nee or scene.needs_medium_nee:
+        flags = scene.bsdfs.flags[jnp.maximum(bsdf_idx, 0)]
+        smooth_here = (flags & F_SMOOTH) != 0
+        nee_s = active_surface & smooth_here & (depth + 1 < scene.max_depth)
+        if not scene.needs_surface_nee:
+            nee_s = jnp.zeros_like(nee_s)
+        nee_any = nee_s | nee_med
+        ref_p = jnp.where(nee_med[:, None], mei.p, si.p)
+        ds_s, emw_s, sampler = sample_emitter_attenuated(
+            scene, ref_p, st.medium, st.channel, tissue_depth, sampler,
+            nee_any, scene.max_depth, bounded_nee)
+        wo_local = si.to_local(ds_s.d)
+        bval, bpdf = bsdf_eval_pdf(scene, si, bsdf_idx, wo_local)
+        ph_val = phase_eval(ptype, g, m.dot(st.ray_d, ds_s.d))
+        cpdf = jnp.where(nee_med, ph_val, bpdf)
+        cval = jnp.where(nee_med[:, None], ph_val[:, None], bval)
+        mis_e = m.mis_weight(ds_s.pdf, jnp.where(ds_s.delta, 0.0, cpdf))
+        tp_nee = jnp.where(nee_med[:, None], throughput_pre_phase,
+                           throughput)
+        L = L + jnp.where(nee_any[:, None],
+                          tp_nee * cval * emw_s * mis_e[:, None], 0.0)
 
     # ---------------- BSDF sampling ----------------
     ub1, sampler = sampler.next_1d()

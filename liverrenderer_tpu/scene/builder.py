@@ -792,6 +792,16 @@ class _Builder:
         )
 
         n_s = len(self.s_bsdf)
+
+        from .ir import (F_SMOOTH, MEDIUM_GLISSON)
+        used_bsdfs = set(self.s_bsdf)
+        needs_surface_nee = bool(self.e_type) and any(
+            (self.b_flags[i] & F_SMOOTH) != 0 for i in used_bsdfs)
+        used_media = {m for m in (self.s_int_med + self.s_ext_med) if m >= 0}
+        needs_medium_nee = bool(self.e_type) and \
+            self.integrator in ("volpath", "volpathmis", "prbvolpath") and \
+            any(self.m_type[m] < MEDIUM_GLISSON for m in used_media)
+
         return Scene(
             vertices=jnp.asarray(V, jnp.float32),
             faces=jnp.asarray(F),
@@ -827,6 +837,8 @@ class _Builder:
             hide_emitters=self.hide_emitters,
             camera_medium=self.camera_medium,
             has_bump=any(t >= 0 for t in self.s_bump_tex),
+            needs_surface_nee=needs_surface_nee,
+            needs_medium_nee=needs_medium_nee,
         )
 
 

@@ -261,8 +261,15 @@ class Scene:
     rr_depth: int = static_field(default=5)
     hide_emitters: bool = static_field(default=False)
     camera_medium: int = static_field(default=-1)
-    intersector: str = static_field(default="auto")  # auto|brute|bvh
+    intersector: str = static_field(default="auto")  # auto|brute|bvh|pallas
     has_bump: bool = static_field(default=False)
+    # Static NEE reachability, computed at build: surface NEE needs a
+    # shape-referenced smooth BSDF; medium NEE needs a non-bio medium under
+    # a volpath-family integrator.  When both are false the whole
+    # emitter-sampling block (env 2D-CDF sampling + attenuated shadow walk)
+    # is elided at trace time — all liver scenes are delta-surface-only.
+    needs_surface_nee: bool = static_field(default=True)
+    needs_medium_nee: bool = static_field(default=True)
 
     # convenience -----------------------------------------------------------
     @property
