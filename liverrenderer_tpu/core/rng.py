@@ -66,6 +66,22 @@ class Sampler:
         u = _to_unit_float(h[..., 0])
         return u, self.replace(dim=self.dim + _U32(1))
 
+    def next_nd(self, k: int):
+        """k uniforms per lane in ceil(k/4) hashes -> ((N, k), sampler).
+        Separate key stream (z=2) from next_1d (z=0) / next_2d (z=1)."""
+        m = (k + 3) // 4
+        cols = []
+        for j in range(m):
+            h = _pcg4d(jnp.stack([
+                self.seed, self.dim + _U32(j),
+                jnp.full_like(self.seed, 2),
+                jnp.full_like(self.seed, 0x9E3779B9),
+            ], -1))
+            for c in range(4):
+                cols.append(_to_unit_float(h[..., c]))
+        u = jnp.stack(cols[:k], -1)
+        return u, self.replace(dim=self.dim + _U32(k))
+
     def next_2d(self):
         h = _pcg4d(jnp.stack([
             self.seed, self.dim,

@@ -135,6 +135,32 @@ def bounce(scene: Scene, st: PathState) -> PathState:
     alive = active_next & (bs.pdf > 0) \
         & jnp.any(throughput != 0.0, axis=-1)
 
+    # ---------------- BSSRDF hook (path.cpp:262-265) ----------------------
+    # A transmission event through a subsurface shape's boundary replaces
+    # the ray continuation with the VAE-sampled exit ray (ssub/event.py).
+    if scene.ssub.enabled:
+        from ..ssub.event import subsurface_event
+        ss_here = active_next & si.valid & \
+            (scene.shape_subsurface[jnp.maximum(si.shape, 0)] >= 0) & \
+            (si.wi[:, 2] > 0)
+        transmitted = (bs.wo[:, 2] * si.wi[:, 2]) < 0
+        ss_mask = ss_here & transmitted & (bs.pdf > 0)
+        ev, sampler = subsurface_event(scene, si, wo_world, sampler,
+                                       ss_mask)
+        st = st.replace(L=st.L + jnp.where(
+            ss_mask[:, None], throughput * ev.L_nee, 0.0))
+        epsq = (1.0 + jnp.max(jnp.abs(ev.out_p), -1)) * 1e-4
+        ss_o = ev.out_p + ev.out_d * epsq[:, None]
+        new_ray = Ray(
+            o=jnp.where(ss_mask[:, None], ss_o, new_ray.o),
+            d=jnp.where(ss_mask[:, None], ev.out_d, new_ray.d),
+            maxt=new_ray.maxt)
+        throughput = jnp.where(ss_mask[:, None], throughput * ev.weight,
+                               throughput)
+        alive = jnp.where(ss_mask, ev.alive, alive)
+        bs = bs.replace(pdf=jnp.where(ss_mask, ev.pdf, bs.pdf))
+        sampled_smooth = jnp.where(ss_mask, ~ev.passthrough, sampled_smooth)
+
     # ---------------- Russian roulette ------------------------------------
     urr, sampler = sampler.next_1d()
     tp_max = jnp.max(throughput, -1) * (eta * eta)

@@ -61,6 +61,7 @@ class VolpathState:
     prev_pdf: Array
     specular_chain: Array
     valid: Array
+    env_weight: Array      # (N,3) deferred env contribution weight
     sampler: Sampler
 
 
@@ -88,6 +89,7 @@ def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> VolpathState:
         prev_pdf=jnp.ones((n,)),
         specular_chain=jnp.ones((n,), bool),
         valid=jnp.zeros((n,), bool),
+        env_weight=jnp.zeros((n, 3)),
         sampler=sampler,
     )
 
@@ -308,9 +310,17 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
         nee_med = jnp.zeros_like(nee_med)  # biovolpath / no stock media
 
     # ---------------- phase sampling ----------------
+    # Detached sampling (PRB): the sampled direction carries no derivative;
+    # the phase parameter gradient re-enters through the value/pdf ratio
+    # (prbvolpath.py detached phase handling).  Without the detach, d(wo)/dg
+    # reaches downstream intersection Jacobians and reverse-mode NaNs.
     throughput_pre_phase = throughput
     u2p, sampler = sampler.next_2d()
-    wo_med, pw, ppdf = phase_sample(ptype, g, st.ray_d, u2p)
+    wo_med, _, ppdf = phase_sample(ptype, g, st.ray_d, u2p)
+    wo_med = jax.lax.stop_gradient(wo_med)
+    ppdf = jax.lax.stop_gradient(ppdf)
+    pval = phase_eval(ptype, g, m.dot(st.ray_d, wo_med))
+    pw = pval / jnp.maximum(ppdf, 1e-20)
     act_real &= ppdf > 0
     throughput = jnp.where(act_real[:, None], throughput * pw[:, None],
                            throughput)
@@ -319,9 +329,11 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     active_surface = (active & ~in_medium) | escaped
     bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
 
-    # emission gathered along the current ray
+    # emission gathered along the current ray.  Env radiance is NOT
+    # evaluated here: escaping ends the path, so the (expensive, bilinear
+    # envmap lookup) evaluation is deferred to a single post-loop pass —
+    # the bounce only records the throughput-MIS weight (env_weight).
     em_val, eidx = eval_emitter_hit(scene, si, st.ray_d)
-    env_val = eval_environment(scene, st.ray_d)
     esc_env = ~si.valid
     if scene.emitters.env_index >= 0:
         eidx_mis = jnp.where(esc_env,
@@ -337,12 +349,13 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     else:
         em_pdf = jnp.zeros((n,))  # no NEE anywhere: BSDF sampling owns MIS
     mis_b = m.mis_weight(st.prev_pdf, em_pdf)
-    contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0) \
-        + jnp.where(esc_env[:, None], env_val, 0.0)
+    contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0)
     hide = scene.hide_emitters & (st.depth == 0)
     gather = active_surface & ~hide & ~reached_max
     L = L + jnp.where(gather[:, None],
                       throughput * contrib * mis_b[:, None], 0.0)
+    env_weight = st.env_weight + jnp.where(
+        (gather & esc_env)[:, None], throughput * mis_b[:, None], 0.0)
 
     active_surface &= si.valid & ~reached_max
     valid = st.valid | active_surface | act_real
@@ -435,6 +448,7 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
         prev_pdf=prev_pdf,
         specular_chain=specular_chain,
         valid=valid,
+        env_weight=env_weight,
         sampler=sampler,
     )
 
@@ -460,4 +474,6 @@ def sample(scene: Scene, sampler: Sampler, ray: Ray, mode: str = "primal"):
         def step(s, _):
             return body(s), None
         st, _ = jax.lax.scan(step, st, None, length=scene.max_depth)
-    return st.L, st.valid, st.sampler
+    # deferred environment contribution (one lookup per path, not per bounce)
+    L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
+    return L, st.valid, st.sampler

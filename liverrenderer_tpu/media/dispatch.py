@@ -112,11 +112,11 @@ def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
     lipid = jnp.where(is_liver[:, None], prm[:, 3:6], prm[:, 18:21])
     hep = jnp.where(is_liver, prm[:, 46], prm[:, 21])
 
-    # six independent uniforms (2 glisson + 4 parenchyma elements)
-    us = []
-    for _ in range(6):
-        u, sampler = sampler.next_1d()
-        us.append(jnp.maximum(u, 1e-7))   # guard r==0 (liver.cpp:322)
+    # six independent uniforms (2 glisson + 4 parenchyma elements),
+    # drawn in 2 hashes instead of 6
+    u6, sampler = sampler.next_nd(6)
+    u6 = jnp.maximum(u6, 1e-7)            # guard r==0 (liver.cpp:322)
+    us = [u6[:, i] for i in range(6)]
 
     def exp_dist(sig_rgb, u):
         att = _index_spectrum(sig_rgb, channel)

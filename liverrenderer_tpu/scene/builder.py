@@ -138,7 +138,11 @@ class _Builder:
         self.s_prim_off: List[int] = []
         self.s_prim_cnt: List[int] = []
         self.s_area: List[float] = []
-        self.named: Dict[str, tuple] = {}  # id -> ("bsdf"|"medium"|"texture", idx)
+        self.s_ssub: List[int] = []
+        # subsurface instances: list of param rows + declared dicts
+        self.ssub_params: List[np.ndarray] = []
+        self.ssub_scale: float = 1.0
+        self.named: Dict[str, tuple] = {}  # id -> ("bsdf"|"medium"|"texture"|"subsurface", idx)
         # sensor/film
         self.sensor_to_world = np.eye(4, dtype=np.float32)
         self.fov_x = 45.0
@@ -503,6 +507,24 @@ class _Builder:
             return self._push_emitter(EMITTER_SPOT, p)
         raise ValueError(f"unknown emitter type {t}")
 
+    # --- subsurface ---------------------------------------------------------
+    def build_subsurface(self, d) -> int:
+        """vaescatter / dipole BSSRDF instance (vaescatter.cpp:76-152 props:
+        sigmaT/albedo textures default 0.5, eta default 1.3, optional
+        forceG).  Returns the subsurface index."""
+        if d.get("type") == "ref":
+            kind, idx = self.named[d["id"]]
+            assert kind == "subsurface"
+            return idx
+        p = np.zeros(8, np.float32)
+        p[0:3] = _spectrum_to_rgb(d.get("sigmaT", d.get("sigma_t", 0.5)), 0.5)
+        p[3:6] = _spectrum_to_rgb(d.get("albedo", 0.5), 0.5)
+        p[6] = float(d.get("forceG", d.get("g", 0.0)))
+        p[7] = float(d.get("eta", 1.3))
+        self.ssub_scale = float(d.get("kernelEpsScale", 1.0))
+        self.ssub_params.append(p)
+        return len(self.ssub_params) - 1
+
     # --- shapes ------------------------------------------------------------
     def add_shape(self, d):
         t = d["type"]
@@ -512,10 +534,21 @@ class _Builder:
         emitter_d = None
         int_med = -1
         ext_med = -1
+        ssub_idx = -1
         for k, v in d.items():
             if not isinstance(v, dict):
                 continue
             vt = v.get("type")
+            if vt == "ref" and k not in ("interior", "exterior", "emitter"):
+                kind = self.named.get(v["id"], ("bsdf", 0))[0]
+                if kind == "subsurface":
+                    ssub_idx = self.named[v["id"]][1]
+                    continue
+                if kind == "medium":
+                    continue
+            if k == "subsurface" or vt in ("vaescatter", "dipole"):
+                ssub_idx = self.build_subsurface(v)
+                continue
             if k == "bsdf" or vt in ("diffuse", "dielectric", "thindielectric",
                                      "conductor", "roughconductor", "plastic",
                                      "roughplastic", "null", "mask",
@@ -534,6 +567,11 @@ class _Builder:
             if k == "exterior":
                 ext_med = self.build_medium(v)
 
+        if ssub_idx >= 0 and bsdf_d is None:
+            # the reference's vaescatter instantiates its own internal
+            # dielectric with intIOR = eta (vaescatter.cpp:135-141)
+            eta = float(self.ssub_params[ssub_idx][7])
+            bsdf_d = {"type": "dielectric", "int_ior": eta, "ext_ior": 1.0}
         bsdf_idx, bump_tex, bump_scale = self.build_bsdf(bsdf_d)
         shape_idx = len(self.s_bsdf)
 
@@ -605,6 +643,7 @@ class _Builder:
         self.s_prim_off.append(prim_off)
         self.s_prim_cnt.append(prim_cnt)
         self.s_area.append(area)
+        self.s_ssub.append(ssub_idx)
 
     # --- sensor/film --------------------------------------------------------
     def build_sensor(self, d):
@@ -793,6 +832,38 @@ class _Builder:
 
         n_s = len(self.s_bsdf)
 
+        # ---- subsurface table (per-vertex poly fits, VAE weights) ----
+        from .ir import SubsurfaceTable
+        ss_enabled = any(i >= 0 for i in self.s_ssub)
+        if ss_enabled:
+            from ..ssub import vae as vae_mod
+            from ..ssub.preprocess import fit_shape_polys
+            weights = vae_mod.load_model() if vae_mod.model_available() \
+                else None
+            poly = np.zeros((max(len(V), 1), 3, 20), np.float32)
+            for sh, ssid in enumerate(self.s_ssub):
+                if ssid < 0 or self.s_type[sh] != SHAPE_MESH:
+                    continue
+                off = self.s_prim_off[sh]
+                cnt = self.s_prim_cnt[sh]
+                f_glob = F[off:off + cnt]
+                vids = np.unique(f_glob)
+                remap = -np.ones(len(V), np.int64)
+                remap[vids] = np.arange(len(vids))
+                f_loc = remap[f_glob]
+                prm = self.ssub_params[ssid]
+                poly[vids] = fit_shape_polys(
+                    V[vids].astype(np.float32), f_loc.astype(np.int32),
+                    prm[0:3], prm[3:6], float(prm[6]), self.ssub_scale)
+            ssub_table = SubsurfaceTable(
+                params=jnp.asarray(np.stack(self.ssub_params)),
+                poly=jnp.asarray(poly), weights=weights,
+                kernel_eps_scale=self.ssub_scale, enabled=weights is not None)
+        else:
+            ssub_table = SubsurfaceTable(
+                params=jnp.zeros((1, 8)), poly=jnp.zeros((1, 3, 20)),
+                weights=None, enabled=False)
+
         from .ir import (F_SMOOTH, MEDIUM_GLISSON)
         used_bsdfs = set(self.s_bsdf)
         needs_surface_nee = bool(self.e_type) and any(
@@ -820,6 +891,7 @@ class _Builder:
             shape_bump_tex=jnp.asarray(self.s_bump_tex or [-1], jnp.int32),
             shape_bump_scale=jnp.asarray(self.s_bump_scale or [0.0],
                                          jnp.float32),
+            shape_subsurface=jnp.asarray(self.s_ssub or [-1], jnp.int32),
             shape_type=jnp.asarray(self.s_type or [0], jnp.int32),
             shape_prim_offset=jnp.asarray(self.s_prim_off or [0], jnp.int32),
             shape_prim_count=jnp.asarray(self.s_prim_cnt or [0], jnp.int32),
@@ -828,7 +900,7 @@ class _Builder:
             tri_area=jnp.asarray(ta, jnp.float32),
             tri_buf=jnp.asarray(tri_buf),
             bsdfs=bsdfs, emitters=emitters, textures=textures, media=media,
-            bvh=bvh, sensor=sensor,
+            bvh=bvh, sensor=sensor, ssub=ssub_table,
             n_shapes=n_s, n_tris=n_tris_real,
             n_spheres=len(self.sph_radius),
             film_w=self.film_w, film_h=self.film_h, rfilter=self.rfilter,
@@ -949,6 +1021,10 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
             idx = b.build_texture(val)
             b.named[vid] = ("texture", idx)
             b.named[key] = ("texture", idx)
+        elif t in ("vaescatter", "dipole"):
+            idx = b.build_subsurface(val)
+            b.named[vid] = ("subsurface", idx)
+            b.named[key] = ("subsurface", idx)
 
     # pass 2: integrator + sensor
     for key, val in d.items():

@@ -205,6 +205,21 @@ class BVH:
 
 
 @struct.dataclass
+class SubsurfaceTable:
+    """BSSRDF plugin table (reference subsurface.h:8-61 + vaescatter).
+
+    params rows: sigma_t [0:3], albedo [3:6], g [6], eta [7].
+    poly: per-vertex per-RGB-channel degree-3 world-space polynomial
+    coefficients (the reference's Mesh PolyStorage, mesh.h:427-434),
+    fitted at build time (ssub/preprocess.py)."""
+    params: Array      # (Ns, 8)
+    poly: Array        # (V, 3, 20) float32
+    weights: Any       # ssub.vae.VAEWeights (pytree) or None
+    kernel_eps_scale: float = static_field(default=1.0)
+    enabled: bool = static_field(default=False)
+
+
+@struct.dataclass
 class Sensor:
     """Perspective sensor (reference src/sensors/perspective.cpp:424)."""
     to_world: Array       # (4,4) camera-to-world
@@ -232,6 +247,7 @@ class Scene:
     shape_ext_medium: Array   # (S,) int32, -1 none
     shape_bump_tex: Array     # (S,) int32 texture for bump/normal map, -1
     shape_bump_scale: Array   # (S,)
+    shape_subsurface: Array   # (S,) int32 subsurface index, -1 none
     shape_type: Array         # (S,) int32 SHAPE_MESH / SHAPE_SPHERE
     shape_prim_offset: Array  # (S,) int32 first prim (tri or sphere idx)
     shape_prim_count: Array   # (S,) int32
@@ -248,6 +264,7 @@ class Scene:
     media: Media
     bvh: BVH
     sensor: Sensor
+    ssub: SubsurfaceTable
     # ------------- static config -------------
     n_shapes: int = static_field(default=0)
     n_tris: int = static_field(default=0)
