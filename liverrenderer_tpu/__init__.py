@@ -17,6 +17,9 @@ from .scene.transform import Transform
 from .scene.xml import load_file
 from .integrators.common import render
 from .integrators.prb import render_grad, render_fwd_grad
+from .integrators.aux import (render_aovs, render_depth, render_direct,
+                              render_moments)
+from .integrators.ptracer import render_ptracer
 from .util import traverse, apply_params, SceneParameters
 from .io.image import read_image, write_image
 
@@ -24,6 +27,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "load_dict", "load_file", "cornell_box", "Transform", "render",
-    "render_grad", "render_fwd_grad", "traverse", "apply_params",
-    "SceneParameters", "read_image", "write_image",
+    "render_grad", "render_fwd_grad", "render_aovs", "render_depth",
+    "render_direct", "render_moments", "render_ptracer", "traverse",
+    "apply_params", "SceneParameters", "read_image", "write_image",
 ]

@@ -57,6 +57,13 @@ def _flip_z(v):
     return jnp.stack([v[..., 0], v[..., 1], -v[..., 2]], -1)
 
 
+def bsdf_albedo(scene: Scene, si, bsdf_idx):
+    """Approximate surface albedo (the primary reflectance texture) — used
+    by the AOV integrator and denoiser feature buffers."""
+    _, _, _, t0, _, _ = _ctx(scene, si, bsdf_idx)
+    return t0
+
+
 # ---------------------------------------------------------------------------
 # Per-family implementations. Each takes local wi and returns lane-shaped
 # results; the caller masks by family membership.

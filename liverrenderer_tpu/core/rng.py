@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from .types import static_field
+
 Array = jax.Array
 
 _U32 = jnp.uint32
@@ -47,23 +49,78 @@ def _to_unit_float(bits: Array) -> Array:
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
+def _bit_reverse(v: Array) -> Array:
+    v = ((v >> 16) | (v << 16)).astype(_U32)
+    v = (((v & _U32(0x00ff00ff)) << 8) | ((v & _U32(0xff00ff00)) >> 8))
+    v = (((v & _U32(0x0f0f0f0f)) << 4) | ((v & _U32(0xf0f0f0f0)) >> 4))
+    v = (((v & _U32(0x33333333)) << 2) | ((v & _U32(0xcccccccc)) >> 2))
+    v = (((v & _U32(0x55555555)) << 1) | ((v & _U32(0xaaaaaaaa)) >> 1))
+    return v
+
+
+def _sobol2(i: Array, scramble: Array) -> Array:
+    """Second dimension of the (0,2)-sequence (ldsampler.cpp /
+    qmc sampleTEA-style scrambling)."""
+    v = jnp.full_like(i, 1 << 31)
+    r = scramble
+    for bit in range(32):
+        mask = (i >> bit) & _U32(1)
+        r = r ^ (mask * v)
+        v = v ^ (v >> 1)
+    return r
+
+
 @struct.dataclass
 class Sampler:
-    """Independent sampler state: per-lane (seed, dim-counter).
+    """Per-lane sampler state: (seed, dim-counter, sample index).
 
-    seed encodes (pixel/lane id, sample index, global seed); dim is the
-    dimension counter advanced by every next_1d/next_2d call so that both
-    both the primal and replay passes consume the identical sequence.
+    seed encodes (pixel/lane id, global seed); dim is the dimension counter
+    advanced by every next_1d/next_2d call so that the primal and replay
+    passes consume the identical sequence.  `kind` selects the sample
+    pattern (reference src/samplers/{independent,stratified,multijitter,
+    orthogonal,ldsampler}.cpp):
+      independent          — pcg4d hash stream
+      stratified           — per-dimension strata with decorrelating cyclic
+                             shifts + jitter
+      multijitter /
+      orthogonal           — stratified with sub-stratified jitter
+      ldsampler            — scrambled (0,2)-sequence (van der Corput +
+                             Sobol') per dimension pair
+    All kinds are counter-based (stateless), which is what makes the PRB
+    adjoint replay exact.
     """
-    seed: Array   # (N,) uint32
+    seed: Array   # (N,) uint32, hash of (pixel, global seed)
     dim: Array    # (N,) uint32
+    samp: Array = None   # (N,) uint32 sample index within the pixel
+    kind: str = static_field(default="independent")
+    spp: int = static_field(default=1)
+
+    # -- pattern helpers ----------------------------------------------------
+    def _strat_1d(self, h, extra_rot):
+        """Stratified value from hash bits h: (shifted stratum + jitter)/spp."""
+        spp = max(self.spp, 1)
+        shift = (extra_rot % _U32(spp)).astype(_U32)
+        stratum = (self.samp + shift) % _U32(spp)
+        jitter = _to_unit_float(h)
+        return (stratum.astype(jnp.float32) + jitter) / spp
+
+    def _ld_pair(self, scr1, scr2):
+        i = self.samp
+        x = _to_unit_float(_bit_reverse(i) ^ scr1)
+        y = _to_unit_float(_sobol2(i, scr2))
+        return x, y
 
     def next_1d(self):
         h = _pcg4d(jnp.stack([
             self.seed, self.dim,
             jnp.zeros_like(self.seed), jnp.full_like(self.seed, 0x9E3779B9),
         ], -1))
-        u = _to_unit_float(h[..., 0])
+        if self.kind in ("stratified", "multijitter", "orthogonal"):
+            u = self._strat_1d(h[..., 0], h[..., 1])
+        elif self.kind == "ldsampler":
+            u = _to_unit_float(_bit_reverse(self.samp) ^ h[..., 0])
+        else:
+            u = _to_unit_float(h[..., 0])
         return u, self.replace(dim=self.dim + _U32(1))
 
     def next_nd(self, k: int):
@@ -87,22 +144,38 @@ class Sampler:
             self.seed, self.dim,
             jnp.ones_like(self.seed), jnp.full_like(self.seed, 0x9E3779B9),
         ], -1))
-        u = jnp.stack([_to_unit_float(h[..., 0]), _to_unit_float(h[..., 1])], -1)
+        if self.kind in ("stratified", "multijitter", "orthogonal"):
+            u = jnp.stack([self._strat_1d(h[..., 0], h[..., 2]),
+                           self._strat_1d(h[..., 1], h[..., 3])], -1)
+        elif self.kind == "ldsampler":
+            x, y = self._ld_pair(h[..., 0], h[..., 1])
+            u = jnp.stack([x, y], -1)
+        else:
+            u = jnp.stack([_to_unit_float(h[..., 0]),
+                           _to_unit_float(h[..., 1])], -1)
         return u, self.replace(dim=self.dim + _U32(2))
 
 
-def make_sampler(lane_id: Array, sample_idx, seed=0) -> Sampler:
+def make_sampler(lane_id: Array, sample_idx, seed=0,
+                 kind: str = "independent", spp: int = 1) -> Sampler:
     """Seed a wavefront sampler. lane_id: (N,) int; sample_idx: int or (N,).
 
     Mirrors Sampler::seed's wavefront seeding (reference sampler.cpp) —
-    every (pixel, spp-index, seed) triple gets a decorrelated stream.
+    every (pixel, spp-index, seed) triple gets a decorrelated stream.  For
+    the stratified/ld kinds the per-pixel stream is keyed on the pixel only
+    so the spp samples of one pixel share a pattern.
     """
     lane = jnp.asarray(lane_id).astype(_U32)
     samp = (jnp.broadcast_to(jnp.asarray(sample_idx), lane.shape)).astype(_U32)
     base = jnp.broadcast_to(jnp.asarray(seed), lane.shape).astype(_U32)
-    h = _pcg4d(jnp.stack([lane, samp, base,
-                          jnp.full_like(lane, 0x85EBCA6B)], -1))
-    return Sampler(seed=h[..., 0], dim=jnp.zeros_like(lane))
+    if kind == "independent":
+        h = _pcg4d(jnp.stack([lane, samp, base,
+                              jnp.full_like(lane, 0x85EBCA6B)], -1))
+    else:  # pattern kinds: stream keyed per pixel, sample index separate
+        h = _pcg4d(jnp.stack([lane, jnp.zeros_like(lane), base,
+                              jnp.full_like(lane, 0x85EBCA6B)], -1))
+    return Sampler(seed=h[..., 0], dim=jnp.zeros_like(lane), samp=samp,
+                   kind=kind, spp=spp)
 
 
 def hash_u32(*parts) -> Array:

@@ -13,11 +13,36 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .scene.ir import FILTER_BOX, FILTER_GAUSSIAN, FILTER_TENT
+from .scene.ir import (FILTER_BOX, FILTER_CATMULLROM, FILTER_GAUSSIAN,
+                       FILTER_LANCZOS, FILTER_MITCHELL, FILTER_TENT)
 
 
 def filter_radius(rfilter: int) -> int:
-    return {FILTER_BOX: 0, FILTER_GAUSSIAN: 2, FILTER_TENT: 1}[rfilter]
+    return {FILTER_BOX: 0, FILTER_GAUSSIAN: 2, FILTER_TENT: 1,
+            FILTER_MITCHELL: 2, FILTER_CATMULLROM: 2,
+            FILTER_LANCZOS: 3}[rfilter]
+
+
+def _mitchell_1d(x, B, C):
+    """Mitchell-Netravali kernel (reference src/rfilters/mitchell.cpp;
+    catmullrom.cpp is the B=0, C=0.5 special case)."""
+    x = jnp.abs(x)
+    x2, x3 = x * x, x * x * x
+    near = ((12.0 - 9.0 * B - 6.0 * C) * x3
+            + (-18.0 + 12.0 * B + 6.0 * C) * x2 + (6.0 - 2.0 * B)) / 6.0
+    far = ((-B - 6.0 * C) * x3 + (6.0 * B + 30.0 * C) * x2
+           + (-12.0 * B - 48.0 * C) * x + (8.0 * B + 24.0 * C)) / 6.0
+    return jnp.where(x < 1.0, near, jnp.where(x < 2.0, far, 0.0))
+
+
+def _lanczos_1d(x, tau=3.0):
+    """Lanczos-sinc windowed filter (src/rfilters/lanczos.cpp, tau=3)."""
+    x = jnp.abs(x)
+    pix = jnp.pi * jnp.maximum(x, 1e-6)
+    sinc = jnp.sin(pix) / pix
+    wind = jnp.sin(pix / tau) / (pix / tau)
+    w = jnp.where(x < 1e-6, 1.0, sinc * wind)
+    return jnp.where(x < tau, w, 0.0)
 
 
 def _filter_weight(rfilter: int, dx, dy):
@@ -34,6 +59,12 @@ def _filter_weight(rfilter: int, dx, dy):
     if rfilter == FILTER_TENT:
         return jnp.maximum(1.0 - jnp.abs(dx), 0.0) \
             * jnp.maximum(1.0 - jnp.abs(dy), 0.0)
+    if rfilter == FILTER_MITCHELL:
+        return _mitchell_1d(dx, 1 / 3, 1 / 3) * _mitchell_1d(dy, 1 / 3, 1 / 3)
+    if rfilter == FILTER_CATMULLROM:
+        return _mitchell_1d(dx, 0.0, 0.5) * _mitchell_1d(dy, 0.0, 0.5)
+    if rfilter == FILTER_LANCZOS:
+        return _lanczos_1d(dx) * _lanczos_1d(dy)
     raise ValueError(rfilter)
 
 

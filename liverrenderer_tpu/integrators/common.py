@@ -43,7 +43,8 @@ def render_pass(scene: Scene, seed: int, spp_pass: int, sample_offset: int,
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = lane // spp_pass
     samp = lane % spp_pass + sample_offset
-    sampler = make_sampler(pix, samp, seed)
+    sampler = make_sampler(pix, samp, seed, kind=scene.sampler_kind,
+                           spp=scene.spp)
 
     # film position: pixel corner + jitter (box) / + filter offset
     px = (pix % w).astype(jnp.float32)
@@ -51,7 +52,12 @@ def render_pass(scene: Scene, seed: int, spp_pass: int, sample_offset: int,
     uf, sampler = sampler.next_2d()
     pos = jnp.stack([px, py], -1) + uf
 
-    ray = sample_ray(scene, pos)
+    from ..scene.ir import SENSOR_THINLENS
+    if scene.sensor.stype == SENSOR_THINLENS:
+        ua, sampler = sampler.next_2d()
+    else:
+        ua = None
+    ray = sample_ray(scene, pos, ua)
     L, valid, sampler = _integrator_sample(scene, sampler, ray, mode=mode)
     L = jnp.where(jnp.isfinite(L), L, 0.0)  # NaN guard (vaescatter.cpp:469)
     return film_mod.splat(w, h, scene.rfilter, pos, L)

@@ -71,11 +71,35 @@ def _spectrum_to_rgb(val, default=1.0) -> np.ndarray:
             return np.asarray(val["value"], np.float32).reshape(3)
         if t in ("uniform", "d65", "rawconstant"):
             return np.full(3, float(val.get("value", default)), np.float32)
-        if t in ("regular", "irregular", "blackbody", "srgb"):
-            if "value" in val and not isinstance(val["value"], str):
-                v = np.asarray(val["value"], np.float32).reshape(-1)
-                return v if v.size == 3 else np.full(3, v.mean(), np.float32)
-            return np.full(3, default, np.float32)
+        if t == "blackbody":
+            from ..core.spectrum import blackbody_rgb
+            rgb = blackbody_rgb(val.get("temperature", 6504.0),
+                                float(val.get("scale", 1.0)))
+            return rgb / max(rgb.max(), 1e-9)  # relative radiance
+        if t == "regular":
+            from ..core.spectrum import spd_to_rgb
+            vals = np.asarray(val["values"]
+                              if "values" in val else val["value"],
+                              np.float32).reshape(-1)
+            lam = np.linspace(float(val.get("lambda_min", 360.0)),
+                              float(val.get("lambda_max", 830.0)), len(vals))
+            return spd_to_rgb(lam, vals)
+        if t == "irregular":
+            from ..core.spectrum import spd_to_rgb
+            if "wavelengths" in val:
+                lam = np.asarray(val["wavelengths"], np.float32)
+                vals = np.asarray(val["values"], np.float32)
+            else:  # "lam1:v1, lam2:v2" string form
+                pairs = [p.split(":") for p in
+                         str(val["value"]).replace(" ", "").split(",") if p]
+                lam = np.asarray([float(a) for a, _ in pairs])
+                vals = np.asarray([float(b) for _, b in pairs])
+            return spd_to_rgb(lam, vals)
+        if t == "srgb":
+            from ..core.spectrum import srgb_to_linear
+            v = np.asarray(val["value"], np.float32).reshape(-1)
+            v = v if v.size == 3 else np.full(3, v[0], np.float32)
+            return np.asarray(srgb_to_linear(v), np.float32)
     raise ValueError(f"cannot interpret spectrum {val!r}")
 
 
@@ -647,9 +671,19 @@ class _Builder:
 
     # --- sensor/film --------------------------------------------------------
     def build_sensor(self, d):
+        from .ir import (FILTER_CATMULLROM, FILTER_LANCZOS, FILTER_MITCHELL,
+                         SENSOR_ORTHOGRAPHIC, SENSOR_PERSPECTIVE,
+                         SENSOR_THINLENS)
         to_w = d.get("to_world")
         if to_w is not None:
             self.sensor_to_world = from_any(to_w).matrix.astype(np.float32)
+        self.sensor_type = {"perspective": SENSOR_PERSPECTIVE,
+                            "thinlens": SENSOR_THINLENS,
+                            "orthographic": SENSOR_ORTHOGRAPHIC}.get(
+                                d.get("type", "perspective"),
+                                SENSOR_PERSPECTIVE)
+        self.aperture_radius = float(d.get("aperture_radius", 0.0))
+        self.focus_distance = float(d.get("focus_distance", 1.0))
         fov = float(d.get("fov", 45.0))
         axis = d.get("fov_axis", "x")
         self.near = float(d.get("near_clip", 1e-2))
@@ -660,9 +694,12 @@ class _Builder:
         rf = film.get("rfilter", {})
         rft = rf.get("type", "gaussian") if isinstance(rf, dict) else rf
         self.rfilter = {"box": FILTER_BOX, "gaussian": FILTER_GAUSSIAN,
-                        "tent": FILTER_TENT}.get(rft, FILTER_GAUSSIAN)
+                        "tent": FILTER_TENT, "mitchell": FILTER_MITCHELL,
+                        "catmullrom": FILTER_CATMULLROM,
+                        "lanczos": FILTER_LANCZOS}.get(rft, FILTER_GAUSSIAN)
         sampler = d.get("sampler", {})
         self.spp = int(sampler.get("sample_count", 16))
+        self.sampler_kind = sampler.get("type", "independent")
         # convert fov to x-axis fov
         aspect = self.film_w / self.film_h
         if axis == "smaller":
@@ -828,6 +865,11 @@ class _Builder:
             fov_x=jnp.asarray(self.fov_x, jnp.float32),
             near_clip=jnp.asarray(self.near, jnp.float32),
             far_clip=jnp.asarray(self.far, jnp.float32),
+            aperture_radius=jnp.asarray(
+                getattr(self, "aperture_radius", 0.0), jnp.float32),
+            focus_distance=jnp.asarray(
+                getattr(self, "focus_distance", 1.0), jnp.float32),
+            stype=getattr(self, "sensor_type", 0),
         )
 
         n_s = len(self.s_bsdf)
@@ -904,7 +946,9 @@ class _Builder:
             n_shapes=n_s, n_tris=n_tris_real,
             n_spheres=len(self.sph_radius),
             film_w=self.film_w, film_h=self.film_h, rfilter=self.rfilter,
-            spp=self.spp, integrator=self.integrator,
+            spp=self.spp,
+            sampler_kind=getattr(self, "sampler_kind", "independent"),
+            integrator=self.integrator,
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             hide_emitters=self.hide_emitters,
             camera_medium=self.camera_medium,

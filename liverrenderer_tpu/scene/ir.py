@@ -67,6 +67,13 @@ SHAPE_SPHERE = 1
 FILTER_BOX = 0
 FILTER_GAUSSIAN = 1
 FILTER_TENT = 2
+FILTER_MITCHELL = 3
+FILTER_CATMULLROM = 4
+FILTER_LANCZOS = 5
+
+SENSOR_PERSPECTIVE = 0
+SENSOR_THINLENS = 1
+SENSOR_ORTHOGRAPHIC = 2
 
 # BSDF flag bits (subset of reference include/mitsuba/render/bsdf.h BSDFFlags)
 F_NULL = 1 << 0
@@ -221,11 +228,17 @@ class SubsurfaceTable:
 
 @struct.dataclass
 class Sensor:
-    """Perspective sensor (reference src/sensors/perspective.cpp:424)."""
+    """Camera (reference src/sensors/{perspective,thinlens,
+    orthographic}.cpp)."""
     to_world: Array       # (4,4) camera-to-world
     fov_x: Array          # () x-field-of-view in degrees
     near_clip: Array      # ()
     far_clip: Array       # ()
+    aperture_radius: Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0))
+    focus_distance: Array = struct.field(
+        default_factory=lambda: jnp.float32(1.0))
+    stype: int = static_field(default=SENSOR_PERSPECTIVE)
 
 
 @struct.dataclass
@@ -273,6 +286,7 @@ class Scene:
     film_h: int = static_field(default=256)
     rfilter: int = static_field(default=FILTER_GAUSSIAN)
     spp: int = static_field(default=64)
+    sampler_kind: str = static_field(default="independent")
     integrator: str = static_field(default="path")
     max_depth: int = static_field(default=8)
     rr_depth: int = static_field(default=5)

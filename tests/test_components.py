@@ -1,0 +1,159 @@
+"""Component-breadth tests: samplers, rfilters, sensors, spectra, aux
+integrators (reference src/{samplers,rfilters,sensors,spectra}/tests and
+integrator interface tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import liverrenderer_tpu as lr
+from liverrenderer_tpu.core import rng
+
+
+# ---------------------------- samplers ------------------------------------
+
+@pytest.mark.parametrize("kind", ["independent", "stratified", "multijitter",
+                                  "ldsampler"])
+def test_sampler_range_and_mean(kind):
+    spp = 16
+    n_pix = 512
+    lane = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), spp)
+    samp = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), n_pix)
+    s = rng.make_sampler(lane, samp, 3, kind=kind, spp=spp)
+    u1, s = s.next_1d()
+    u2, s = s.next_2d()
+    for u in (np.asarray(u1), np.asarray(u2).ravel()):
+        assert (u >= 0).all() and (u < 1).all()
+        np.testing.assert_allclose(u.mean(), 0.5, atol=0.01)
+
+
+def test_stratified_lower_variance():
+    """Per-pixel mean of spp samples: stratified must beat independent."""
+    spp = 16
+    n_pix = 2048
+    lane = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), spp)
+    samp = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), n_pix)
+
+    def pixel_mean_var(kind):
+        s = rng.make_sampler(lane, samp, 1, kind=kind, spp=spp)
+        u, _ = s.next_1d()
+        pm = np.asarray(u).reshape(n_pix, spp).mean(1)
+        return pm.var()
+
+    v_ind = pixel_mean_var("independent")
+    v_str = pixel_mean_var("stratified")
+    v_ld = pixel_mean_var("ldsampler")
+    assert v_str < v_ind / 4
+    assert v_ld < v_ind / 4
+
+
+def test_stratified_covers_strata():
+    spp = 8
+    lane = jnp.zeros(spp, jnp.uint32)
+    samp = jnp.arange(spp, dtype=jnp.uint32)
+    s = rng.make_sampler(lane, samp, 0, kind="stratified", spp=spp)
+    u, _ = s.next_1d()
+    strata = np.sort((np.asarray(u) * spp).astype(int))
+    np.testing.assert_array_equal(strata, np.arange(spp))
+
+
+# ---------------------------- rfilters ------------------------------------
+
+@pytest.mark.parametrize("rf", ["box", "tent", "gaussian", "mitchell",
+                                "catmullrom", "lanczos"])
+def test_rfilter_renders(rf):
+    d = lr.cornell_box()
+    d["sensor"]["film"]["width"] = 32
+    d["sensor"]["film"]["height"] = 32
+    d["sensor"]["film"]["rfilter"] = {"type": rf}
+    scene = lr.load_dict(d)
+    img = np.asarray(lr.render(scene, spp=4, seed=0))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05
+
+
+# ---------------------------- sensors -------------------------------------
+
+def test_thinlens_blurs_defocused():
+    def make(ap):
+        d = lr.cornell_box()
+        d["sensor"]["type"] = "thinlens"
+        d["sensor"]["aperture_radius"] = ap
+        d["sensor"]["focus_distance"] = 1.0   # box is ~4 away: defocused
+        d["sensor"]["film"]["width"] = 48
+        d["sensor"]["film"]["height"] = 48
+        return lr.load_dict(d)
+
+    sharp = np.asarray(lr.render(make(0.0), spp=16, seed=0))
+    blurred = np.asarray(lr.render(make(0.3), spp=16, seed=0))
+    # defocus spreads the bright lamp across many pixels: the brightest
+    # smoothed 3x3 neighborhood must drop substantially
+    def peak(img):
+        y = img.mean(-1)
+        k = (y[:-2, :-2] + y[1:-1, :-2] + y[2:, :-2] + y[:-2, 1:-1]
+             + y[1:-1, 1:-1] + y[2:, 1:-1] + y[:-2, 2:] + y[1:-1, 2:]
+             + y[2:, 2:]) / 9.0
+        return k.max()
+    assert peak(blurred) < peak(sharp) * 0.6
+    assert np.isfinite(blurred).all()
+
+
+def test_orthographic_renders():
+    d = lr.cornell_box()
+    d["sensor"]["type"] = "orthographic"
+    d["sensor"]["film"]["width"] = 32
+    d["sensor"]["film"]["height"] = 32
+    scene = lr.load_dict(d)
+    img = np.asarray(lr.render(scene, spp=4, seed=0))
+    assert np.isfinite(img).all()
+
+
+# ---------------------------- spectra -------------------------------------
+
+def test_blackbody_hue():
+    from liverrenderer_tpu.core.spectrum import blackbody_rgb
+    warm = blackbody_rgb(2000.0)
+    cool = blackbody_rgb(10000.0)
+    assert warm[0] > warm[2] * 2          # 2000 K is strongly red
+    assert cool[2] > cool[0]              # 10000 K is blue-ish
+
+
+def test_flat_spd_is_whiteish():
+    from liverrenderer_tpu.core.spectrum import spd_to_rgb
+    rgb = spd_to_rgb(np.linspace(380, 730, 10), np.ones(10))
+    assert rgb.max() / max(rgb.min(), 1e-6) < 1.6
+
+
+# ---------------------------- aux integrators ------------------------------
+
+def _tiny_cornell():
+    d = lr.cornell_box()
+    d["sensor"]["film"]["width"] = 48
+    d["sensor"]["film"]["height"] = 48
+    return lr.load_dict(d)
+
+
+def test_depth_and_aovs():
+    scene = _tiny_cornell()
+    dep = np.asarray(lr.render_depth(scene))
+    assert (dep[24, 24] > 0.5) and np.isfinite(dep).all()
+    aovs = lr.render_aovs(scene)
+    n = np.asarray(aovs["sh_normal"])
+    assert np.abs(np.linalg.norm(n[24, 24]) - 1.0) < 1e-3
+
+
+def test_ptracer_matches_path():
+    """Light tracer and path tracer estimate the same measurement
+    (AdjointIntegrator::render vs SamplingIntegrator::render)."""
+    scene = _tiny_cornell()
+    pt = np.asarray(lr.render_ptracer(scene, spp=64, seed=0))
+    fw = np.asarray(lr.render(scene.replace(hide_emitters=True), spp=32,
+                              seed=0))
+    assert abs(pt.mean() - fw.mean()) / fw.mean() < 0.05
+
+
+def test_moments_variance_positive():
+    scene = _tiny_cornell()
+    mean, m2 = lr.render_moments(scene, spp=4)
+    var = np.asarray(m2) - np.asarray(mean) ** 2
+    assert var.mean() > -1e-4
