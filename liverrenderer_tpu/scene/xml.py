@@ -105,7 +105,10 @@ def _convert(el, subst):
     name = attrib.get("name", attrib.get("id", tag))
 
     if tag in _SCALAR_TAGS:
-        return name, _SCALAR_TAGS[tag](attrib["value"])
+        raw = attrib["value"]
+        if tag == "float" and ":" in raw:
+            raw = raw.split(":")[-1]   # legacy "lambda:value" tokens
+        return name, _SCALAR_TAGS[tag](raw)
     if tag == "vector" or tag == "point":
         if "value" in attrib:
             v = [float(x) for x in re.split(r"[ ,]+", attrib["value"].strip())]
@@ -113,7 +116,11 @@ def _convert(el, subst):
             v = _vec3(attrib, 0.0)
         return name, v
     if tag == "rgb":
-        v = [float(x) for x in re.split(r"[ ,]+", attrib["value"].strip())]
+        # tolerate legacy Mitsuba-0.6 "lambda:value" tokens (e.g. the
+        # Parenchyma scene's sigma_* leftovers) by keeping the value part
+        toks = [t.split(":")[-1]
+                for t in re.split(r"[ ,]+", attrib["value"].strip()) if t]
+        v = [float(x) for x in toks]
         if len(v) == 1:
             v = v * 3
         return name, {"type": "rgb", "value": v}

@@ -1,0 +1,102 @@
+"""Pipeline/tooling tests: prepare_medium coefficients vs the values baked
+into the reference scenes, Mie validation, RMSE/SSIM metrics, CLI smoke."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+HAVE_REF = os.path.isdir(os.path.join(REF, "liver", "data"))
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_mie_against_wiscombe():
+    from liverrenderer_tpu.pipeline.medium_models import mie_qsca
+    assert abs(mie_qsca(1.5, 10.0) - 2.8820) < 1e-3
+    m, x = 1.2, 0.01
+    ray = 8 / 3 * x ** 4 * abs((m * m - 1) / (m * m + 2)) ** 2
+    assert abs(mie_qsca(m, x) - ray) / ray < 1e-3
+
+
+@pytest.mark.skipif(not HAVE_REF, reason="reference data not mounted")
+def test_prepare_medium_matches_baked_scene():
+    """Computed coefficients must reproduce the sigma_* values baked into
+    scenes/Liver-SingleMesh/mitsuba3/scene.xml (collagen/elastin/
+    hepatocyte; blood with the generation-time vf=0.002)."""
+    from liverrenderer_tpu.pipeline.prepare_medium import (
+        compute_coefficients)
+    c = compute_coefficients()
+    assert abs(c["sigma_collagen1_R"] - 3.146124563777685) / 3.146 < 0.01
+    assert abs(c["sigma_collagen1_G"] - 2.2189004838302524) / 2.219 < 0.01
+    assert abs(c["sigma_elastin1_G"] - 0.29006947548901363) / 0.290 < 0.01
+    assert abs(c["sigma_hepatocity"] - 269.26180490217416) < 1e-6
+    c2 = compute_coefficients({"blood_vf": 0.002})
+    ref_blood = [0.004611074674964207, 0.20900034649954347,
+                 0.24625187839886722]
+    for got, ref in zip(c2["sigma_blood"], ref_blood):
+        assert abs(got - ref) / ref < 0.03, (got, ref)
+    ref_bile = [0.002160333333333333, 0.0030312499999999997,
+                0.025356499999999997]
+    for got, ref in zip(c2["sigma_bile"], ref_bile):
+        assert abs(got - ref) / ref < 0.05, (got, ref)
+
+
+def test_rmse_ssim_metrics():
+    from liverrenderer_tpu.pipeline.results import rmse, ssim
+    rng = np.random.default_rng(1)
+    a = rng.random((64, 64, 3)).astype(np.float32)
+    assert rmse(a, a) == 0.0
+    assert abs(ssim(a, a) - 1.0) < 1e-6
+    b = a + 0.1
+    assert abs(rmse(a, b) - 0.1) < 1e-6
+    assert ssim(a, b) < 1.0
+    noisy = a + rng.normal(0, 0.2, a.shape).astype(np.float32)
+    assert ssim(a, noisy) < ssim(a, b)
+    # mask: error only outside the mask must not count
+    mask = np.zeros((64, 64), bool)
+    mask[:32] = True
+    c = a.copy()
+    c[32:] += 5.0
+    assert rmse(a, c, mask) == 0.0
+
+
+def test_cli_renders_cornell(tmp_path):
+    """CLI end-to-end on a small generated scene file."""
+    xml = tmp_path / "scene.xml"
+    xml.write_text("""<scene version="3.6.0">
+  <default name="spp" value="4"/>
+  <integrator type="path"><integer name="max_depth" value="3"/></integrator>
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <transform name="to_world">
+      <lookat origin="0, 1, 4" target="0, 0.5, 0" up="0, 1, 0"/>
+    </transform>
+    <sampler type="independent"><integer name="sample_count" value="$spp"/></sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="24"/><integer name="height" value="24"/>
+      <rfilter type="box"/>
+    </film>
+  </sensor>
+  <shape type="rectangle">
+    <transform name="to_world"><rotate x="1" angle="-90"/><scale value="3"/></transform>
+    <bsdf type="diffuse"><rgb name="reflectance" value="0.5, 0.5, 0.5"/></bsdf>
+  </shape>
+  <emitter type="constant"><rgb name="radiance" value="0.8, 0.8, 0.8"/></emitter>
+</scene>""")
+    out = tmp_path / "out.exr"
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from liverrenderer_tpu.cli import main; import sys;"
+         f"sys.exit(main(['{xml}', '-o', '{out}']))"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    assert (tmp_path / "time.txt").exists()
+    import liverrenderer_tpu as lr
+    img = lr.read_image(str(out))
+    assert np.isfinite(img).all() and img.mean() > 0.01
