@@ -136,13 +136,24 @@ def bounce(scene: Scene, st: PathState) -> PathState:
         & jnp.any(throughput != 0.0, axis=-1)
 
     # ---------------- BSSRDF hook (path.cpp:262-265) ----------------------
-    # A transmission event through a subsurface shape's boundary replaces
-    # the ray continuation with the VAE-sampled exit ray (ssub/event.py).
+    # A transmission event through a vaescatter shape's boundary replaces
+    # the ray continuation with the VAE-sampled exit ray (ssub/event.py);
+    # dipole shapes instead gather the diffusion term additively.
     if scene.ssub.enabled:
-        from ..ssub.event import subsurface_event
-        ss_here = active_next & si.valid & \
-            (scene.shape_subsurface[jnp.maximum(si.shape, 0)] >= 0) & \
+        from ..scene.ir import SSUB_DIPOLE, SSUB_VAE
+        ss_idx_l = scene.shape_subsurface[jnp.maximum(si.shape, 0)]
+        ss_t = scene.ssub.ss_type[jnp.maximum(ss_idx_l, 0)]
+        ss_any = active_next & si.valid & (ss_idx_l >= 0) & \
             (si.wi[:, 2] > 0)
+    if scene.ssub.enabled and scene.ssub.has_dipole:
+        from ..ssub.dipole import dipole_lo
+        dip_mask = ss_any & (ss_t == SSUB_DIPOLE)
+        lo = dipole_lo(scene, si.p, si.wi[:, 2], dip_mask)
+        st = st.replace(L=st.L + jnp.where(dip_mask[:, None],
+                                           st.throughput * lo, 0.0))
+    if scene.ssub.enabled and scene.ssub.has_vae:
+        from ..ssub.event import subsurface_event
+        ss_here = ss_any & (ss_t == SSUB_VAE)
         transmitted = (bs.wo[:, 2] * si.wi[:, 2]) < 0
         ss_mask = ss_here & transmitted & (bs.pdf > 0)
         ev, sampler = subsurface_event(scene, si, wo_world, sampler,

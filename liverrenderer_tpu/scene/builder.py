@@ -165,6 +165,7 @@ class _Builder:
         self.s_ssub: List[int] = []
         # subsurface instances: list of param rows + declared dicts
         self.ssub_params: List[np.ndarray] = []
+        self.ssub_types: List[int] = []
         self.ssub_scale: float = 1.0
         self.named: Dict[str, tuple] = {}  # id -> ("bsdf"|"medium"|"texture"|"subsurface", idx)
         # sensor/film
@@ -541,12 +542,23 @@ class _Builder:
             assert kind == "subsurface"
             return idx
         p = np.zeros(8, np.float32)
-        p[0:3] = _spectrum_to_rgb(d.get("sigmaT", d.get("sigma_t", 0.5)), 0.5)
-        p[3:6] = _spectrum_to_rgb(d.get("albedo", 0.5), 0.5)
+        if "sigmaS" in d or "sigmaA" in d:   # dipole-style parametrization
+            ss = _spectrum_to_rgb(d.get("sigmaS", 0.5), 0.5)
+            sa = _spectrum_to_rgb(d.get("sigmaA", 0.1), 0.1)
+            p[0:3] = ss + sa
+            p[3:6] = ss / np.maximum(ss + sa, 1e-9)
+        else:
+            p[0:3] = _spectrum_to_rgb(d.get("sigmaT", d.get("sigma_t", 0.5)),
+                                      0.5)
+            p[3:6] = _spectrum_to_rgb(d.get("albedo", 0.5), 0.5)
         p[6] = float(d.get("forceG", d.get("g", 0.0)))
-        p[7] = float(d.get("eta", 1.3))
+        p[7] = float(d.get("eta", 1.33 if d.get("type") == "dipole"
+                           else 1.3))
         self.ssub_scale = float(d.get("kernelEpsScale", 1.0))
         self.ssub_params.append(p)
+        from .ir import SSUB_DIPOLE, SSUB_VAE
+        self.ssub_types.append(SSUB_DIPOLE if d.get("type") == "dipole"
+                               else SSUB_VAE)
         return len(self.ssub_params) - 1
 
     # --- shapes ------------------------------------------------------------
@@ -875,32 +887,42 @@ class _Builder:
         n_s = len(self.s_bsdf)
 
         # ---- subsurface table (per-vertex poly fits, VAE weights) ----
-        from .ir import SubsurfaceTable
-        ss_enabled = any(i >= 0 for i in self.s_ssub)
-        if ss_enabled:
-            from ..ssub import vae as vae_mod
-            from ..ssub.preprocess import fit_shape_polys
-            weights = vae_mod.load_model() if vae_mod.model_available() \
-                else None
+        from .ir import SSUB_DIPOLE, SSUB_VAE, SubsurfaceTable
+        ss_used = sorted({i for i in self.s_ssub if i >= 0})
+        has_vae = any(self.ssub_types[i] == SSUB_VAE for i in ss_used)
+        has_dipole = any(self.ssub_types[i] == SSUB_DIPOLE for i in ss_used)
+        if ss_used:
+            weights = None
+            if has_vae:
+                from ..ssub import vae as vae_mod
+                weights = vae_mod.load_model() \
+                    if vae_mod.model_available() else None
+                has_vae = weights is not None
             poly = np.zeros((max(len(V), 1), 3, 20), np.float32)
-            for sh, ssid in enumerate(self.s_ssub):
-                if ssid < 0 or self.s_type[sh] != SHAPE_MESH:
-                    continue
-                off = self.s_prim_off[sh]
-                cnt = self.s_prim_cnt[sh]
-                f_glob = F[off:off + cnt]
-                vids = np.unique(f_glob)
-                remap = -np.ones(len(V), np.int64)
-                remap[vids] = np.arange(len(vids))
-                f_loc = remap[f_glob]
-                prm = self.ssub_params[ssid]
-                poly[vids] = fit_shape_polys(
-                    V[vids].astype(np.float32), f_loc.astype(np.int32),
-                    prm[0:3], prm[3:6], float(prm[6]), self.ssub_scale)
+            if has_vae:
+                from ..ssub.preprocess import fit_shape_polys
+                for sh, ssid in enumerate(self.s_ssub):
+                    if ssid < 0 or self.s_type[sh] != SHAPE_MESH \
+                            or self.ssub_types[ssid] != SSUB_VAE:
+                        continue
+                    off = self.s_prim_off[sh]
+                    cnt = self.s_prim_cnt[sh]
+                    f_glob = F[off:off + cnt]
+                    vids = np.unique(f_glob)
+                    remap = -np.ones(len(V), np.int64)
+                    remap[vids] = np.arange(len(vids))
+                    f_loc = remap[f_glob]
+                    prm = self.ssub_params[ssid]
+                    poly[vids] = fit_shape_polys(
+                        V[vids].astype(np.float32), f_loc.astype(np.int32),
+                        prm[0:3], prm[3:6], float(prm[6]), self.ssub_scale)
             ssub_table = SubsurfaceTable(
                 params=jnp.asarray(np.stack(self.ssub_params)),
                 poly=jnp.asarray(poly), weights=weights,
-                kernel_eps_scale=self.ssub_scale, enabled=weights is not None)
+                ss_type=jnp.asarray(self.ssub_types, jnp.int32),
+                kernel_eps_scale=self.ssub_scale,
+                enabled=has_vae or has_dipole,
+                has_vae=has_vae, has_dipole=has_dipole)
         else:
             ssub_table = SubsurfaceTable(
                 params=jnp.zeros((1, 8)), poly=jnp.zeros((1, 3, 20)),
@@ -915,7 +937,7 @@ class _Builder:
             self.integrator in ("volpath", "volpathmis", "prbvolpath") and \
             any(self.m_type[m] < MEDIUM_GLISSON for m in used_media)
 
-        return Scene(
+        scene = Scene(
             vertices=jnp.asarray(V, jnp.float32),
             faces=jnp.asarray(F),
             normals=jnp.asarray(Nrm, jnp.float32),
@@ -956,6 +978,9 @@ class _Builder:
             needs_surface_nee=needs_surface_nee,
             needs_medium_nee=needs_medium_nee,
         )
+        if ssub_table.has_dipole:
+            scene = _dipole_preprocess(scene, self, V, F)
+        return scene
 
 
 def _fdr(eta: float) -> float:
@@ -1040,6 +1065,56 @@ _BSDF_TYPES = ("diffuse", "dielectric", "thindielectric", "conductor",
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous", "glissonCapsule", "glisson",
                  "parenchyma", "liver")
 _TEXTURE_TYPES = ("bitmap", "checkerboard", "mesh_attribute")
+
+
+def _dipole_preprocess(scene: Scene, b: "_Builder", V, F) -> Scene:
+    """Dipole irradiance point cloud (Scene::preprocess ->
+    Dipole::preprocess, dipole.cpp:120-167): area-uniform surface samples
+    over the dipole shapes, per-point direct irradiance, dipole constants
+    from the first instance's medium parameters."""
+    from .ir import SSUB_DIPOLE
+    from ..ssub.dipole import CHUNK, compute_irradiance, dipole_constants
+    from ..ssub.preprocess import sample_surface
+
+    pts_all, nrm_all = [], []
+    first = None
+    for sh, ssid in enumerate(b.s_ssub):
+        if ssid < 0 or b.ssub_types[ssid] != SSUB_DIPOLE:
+            continue
+        first = first if first is not None else ssid
+        if b.s_type[sh] != SHAPE_MESH:
+            continue
+        off, cnt = b.s_prim_off[sh], b.s_prim_cnt[sh]
+        p, n = sample_surface(V, F[off:off + cnt], 1024, seed=21)
+        pts_all.append(p)
+        nrm_all.append(n)
+    if not pts_all:
+        return scene
+    pts = np.concatenate(pts_all)
+    nrm = np.concatenate(nrm_all)
+    total_area = sum(b.s_area[sh] for sh, ssid in enumerate(b.s_ssub)
+                     if ssid >= 0 and b.ssub_types[ssid] == SSUB_DIPOLE)
+    area = np.full(len(pts), total_area / len(pts), np.float32)
+    # pad to a CHUNK multiple with zero-area points (the gather loop's
+    # dynamic_slice clamps at the end; padding prevents double counting)
+    pad = (-len(pts)) % CHUNK
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        nrm = np.concatenate([nrm, np.tile([[0, 0, 1]], (pad, 1))
+                              .astype(np.float32)])
+        area = np.concatenate([area, np.zeros(pad, np.float32)])
+
+    E = compute_irradiance(scene, pts, nrm)
+    prm = b.ssub_params[first]
+    sigma_t, albedo = prm[0:3], prm[3:6]
+    sigma_s = albedo * sigma_t
+    sigma_a = sigma_t - sigma_s
+    zr, zv, sigma_tr, _ = dipole_constants(sigma_s, sigma_a,
+                                           float(prm[6]), float(prm[7]))
+    consts = np.concatenate([zr, zv, sigma_tr, [prm[7]]]).astype(np.float32)
+    return scene.replace(ssub=scene.ssub.replace(
+        dip_points=jnp.asarray(pts), dip_irradiance=jnp.asarray(E),
+        dip_area=jnp.asarray(area), dip_consts=jnp.asarray(consts)))
 
 
 def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:

@@ -211,19 +211,37 @@ class BVH:
     depth: int = static_field(default=32)
 
 
+SSUB_VAE = 0
+SSUB_DIPOLE = 1
+
+
 @struct.dataclass
 class SubsurfaceTable:
-    """BSSRDF plugin table (reference subsurface.h:8-61 + vaescatter).
+    """BSSRDF plugin table (reference subsurface.h:8-61 + vaescatter/dipole).
 
     params rows: sigma_t [0:3], albedo [3:6], g [6], eta [7].
     poly: per-vertex per-RGB-channel degree-3 world-space polynomial
     coefficients (the reference's Mesh PolyStorage, mesh.h:427-434),
-    fitted at build time (ssub/preprocess.py)."""
+    fitted at build time (ssub/preprocess.py).
+    dip_*: the dipole's irradiance point cloud (ssub/dipole.py); dip_consts
+    packs (zr[3], zv[3], sigma_tr[3], eta)."""
     params: Array      # (Ns, 8)
     poly: Array        # (V, 3, 20) float32
     weights: Any       # ssub.vae.VAEWeights (pytree) or None
+    ss_type: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1,), jnp.int32))
+    dip_points: Array = struct.field(
+        default_factory=lambda: jnp.zeros((256, 3)))
+    dip_irradiance: Array = struct.field(
+        default_factory=lambda: jnp.zeros((256, 3)))
+    dip_area: Array = struct.field(
+        default_factory=lambda: jnp.zeros((256,)))
+    dip_consts: Array = struct.field(
+        default_factory=lambda: jnp.ones((10,)))
     kernel_eps_scale: float = static_field(default=1.0)
     enabled: bool = static_field(default=False)
+    has_vae: bool = static_field(default=False)
+    has_dipole: bool = static_field(default=False)
 
 
 @struct.dataclass

@@ -130,3 +130,36 @@ def test_vaescatter_render_smoke():
     assert np.isfinite(img).all()
     center = img[12:20, 12:20].mean()
     assert center > 1e-3, center  # light makes it through the sphere
+
+
+def test_dipole_render_smoke():
+    """Classical dipole BSSRDF: irradiance point cloud + Rd gather renders
+    finite, non-black (reference dipole.cpp capability)."""
+    verts, faces = _uv_sphere(n_theta=12, n_phi=24)
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 4},
+        "sensor": {
+            "type": "perspective", "fov": 40.0,
+            "to_world": lr.Transform().look_at([0, 0, 4], [0, 0, 0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "blob": {"type": "mesh", "vertices": verts, "faces": faces,
+                 "subsurface": {"type": "dipole",
+                                "sigmaS": {"type": "rgb",
+                                           "value": [2.0, 2.3, 3.0]},
+                                "sigmaA": {"type": "rgb",
+                                           "value": [0.03, 0.1, 0.3]}}},
+        "lamp": {"type": "point", "position": [3.0, 3.0, 3.0],
+                 "intensity": {"type": "rgb", "value": [40.0] * 3}},
+    }
+    scene = lr.load_dict(d)
+    assert scene.ssub.enabled and scene.ssub.has_dipole
+    assert float(np.asarray(scene.ssub.dip_irradiance).max()) > 0
+    img = np.asarray(lr.render(scene, spp=8, seed=0))
+    assert np.isfinite(img).all()
+    assert img[8:16, 8:16].mean() > 1e-3
+    # lit side (upper right, toward the lamp) brighter than shadow side
+    assert img[4:10, 14:22].mean() > img[14:20, 2:10].mean()
