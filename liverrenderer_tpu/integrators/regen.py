@@ -1,0 +1,118 @@
+"""Wavefront path regeneration: keep the lanes full.
+
+The fixed-wavefront loop (common.render_pass) pays full width on every
+iteration while lanes die off — by the RR tail most of the wavefront is
+masked off (the megakernel-vs-wavefront trade the reference tunes with the
+-W flag, integrator.cpp:275-293 / path.cpp:320-336).  This variant keeps a
+wavefront of W lanes saturated: when a lane's path terminates, its radiance
+is splatted into the film *inside the loop* and the lane is re-seeded with
+the next (pixel, sample) from the global pool, so utilization stays ~100%
+until the pool drains.
+
+Applies to the volpath family in primal mode with a box filter (the liver
+benchmark configuration); other configurations fall back to the fixed
+wavefront.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import make_sampler
+from ..emitter.dispatch import eval_environment
+from ..scene.ir import Scene
+from ..sensor.perspective import sample_ray
+from . import volpath as vp
+
+REGEN_WAVEFRONT = 1 << 20   # lanes kept in flight
+
+
+def _make_lanes(scene: Scene, sample_ids, seed, spp: int):
+    """Seed path states for sample indices (pixel-minor ordering so early
+    iterations cover the whole film)."""
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    pix = (sample_ids % n_pix).astype(jnp.uint32)
+    samp = (sample_ids // n_pix).astype(jnp.uint32)
+    sampler = make_sampler(pix, samp, seed, kind=scene.sampler_kind, spp=spp)
+    px = (pix % w).astype(jnp.float32)
+    py = (pix // w).astype(jnp.float32)
+    uf, sampler = sampler.next_2d()
+    pos = jnp.stack([px, py], -1) + uf
+    ray = sample_ray(scene, pos)
+    st = vp.init_state(ray, sampler, scene)
+    return st, pos
+
+
+def _select_state(mask, new, old):
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            mask.reshape(mask.shape + (1,) * (a.ndim - 1)), a, b), new, old)
+
+
+@partial(jax.jit, static_argnames=("spp",))
+def render_regen(scene: Scene, seed, spp: int):
+    """Full-frame render with lane regeneration -> (h, w, 4) accumulator."""
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    budget = n_pix * spp
+    W = min(REGEN_WAVEFRONT, budget)
+
+    st, pos = _make_lanes(scene, jnp.arange(W, dtype=jnp.uint32), seed, spp)
+    film = jnp.zeros((h * w, 4))
+    refills = (budget + W - 1) // W
+    # per-lane iteration budget matches the fixed wavefront's loop cap
+    # (volpath.sample max_iters) so both renderers compute the identical
+    # per-sample estimate; the global cap is just a runaway backstop
+    lane_cap = scene.max_depth * 4
+    max_iters = lane_cap * (refills + 2)
+
+    def cond(c):
+        st, pos, film, age, next_s, it = c
+        return jnp.any(st.active) & (it < max_iters)
+
+    def body(c):
+        st, pos, film, age, next_s, it = c
+        was_active = st.active
+        st = vp.bounce(scene, st, False)
+        age = age + 1
+        st = st.replace(active=st.active & (age < lane_cap))
+        died = was_active & ~st.active
+
+        # finalize + splat the finished lanes (box filter: single tap)
+        L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
+        L = jnp.where(jnp.isfinite(L), L, 0.0)
+        px = jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
+        py = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1)
+        idx = py * w + px
+        data = jnp.concatenate([L, jnp.ones((W, 1))], -1)
+        film = film.at[idx].add(jnp.where(died[:, None], data, 0.0))
+
+        # regenerate from the pool
+        ranks = jnp.cumsum(died.astype(jnp.uint32)) - 1
+        new_ids = next_s + ranks
+        take = died & (new_ids < budget)
+        new_st, new_pos = _make_lanes(scene, jnp.where(take, new_ids, 0),
+                                      seed, spp)
+        st = _select_state(take, new_st, st)
+        pos = jnp.where(take[:, None], new_pos, pos)
+        age = jnp.where(take, 0, age)
+        next_s = jnp.minimum(next_s + jnp.sum(died.astype(jnp.uint32)),
+                             jnp.uint32(budget))
+        return st, pos, film, age, next_s, it + 1
+
+    init = (st, pos, film, jnp.zeros((W,), jnp.int32), jnp.uint32(W),
+            jnp.int32(0))
+    st, pos, film, age, next_s, it = jax.lax.while_loop(cond, body, init)
+    return film.reshape(h, w, 4)
+
+
+def regen_applicable(scene: Scene, mode: str) -> bool:
+    from ..scene.ir import FILTER_BOX, SENSOR_THINLENS
+    return (mode == "primal"
+            and scene.integrator in ("volpath", "volpathmis", "biovolpath",
+                                     "biovolpath06")
+            and scene.rfilter == FILTER_BOX
+            and scene.sensor.stype != SENSOR_THINLENS)

@@ -225,6 +225,11 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         return dict(active=alive, o=o, remaining=remaining, medium=medium2,
                     tr=tr, sampler=sampler)
 
+    # The walk consumes a FIXED per-lane dimension budget regardless of how
+    # many collective while_loop iterations run: otherwise the iteration
+    # count (a batch-collective property) would shift every lane's
+    # subsequent RNG stream, making results depend on wavefront batching.
+    sampler_out = sampler.replace(dim=sampler.dim + jnp.uint32(128))
     if bounded:
         for _ in range(max_steps):
             st = body(st)
@@ -237,7 +242,7 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
             cond, lambda c: (body(c[0]), c[1] + 1), (st, 0))
 
     tr = jnp.where(active[:, None], st["tr"], 0.0)
-    return ds, em_weight * tr, st["sampler"]
+    return ds, em_weight * tr, sampler_out
 
 
 def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
