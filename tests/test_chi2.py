@@ -1,0 +1,92 @@
+"""Chi-square sample/pdf consistency tests (the reference's chi2.py
+strategy, src/bsdfs/tests + src/phase/tests/test_hg.py analog)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liverrenderer_tpu.core import warp
+from liverrenderer_tpu.phase.dispatch import phase_eval, phase_sample
+from liverrenderer_tpu.scene.ir import PHASE_HG, PHASE_ISOTROPIC
+from liverrenderer_tpu.testutil import chi2_test_sphere
+
+
+def test_uniform_sphere_chi2():
+    ok, p, stat, dof = chi2_test_sphere(
+        lambda u2, u1: warp.square_to_uniform_sphere(u2),
+        lambda d: jnp.full(d.shape[:-1], warp.INV_FOURPI))
+    assert ok, (p, stat, dof)
+
+
+def test_cosine_hemisphere_chi2():
+    def pdf(d):
+        return jnp.maximum(d[..., 2], 0.0) / jnp.pi
+
+    ok, p, stat, dof = chi2_test_sphere(
+        lambda u2, u1: warp.square_to_cosine_hemisphere(u2), pdf)
+    assert ok, (p, stat, dof)
+
+
+@pytest.mark.parametrize("g", [-0.5, 0.0, 0.3, 0.8])
+def test_hg_phase_chi2(g):
+    fwd = jnp.array([0.0, 0.0, 1.0])
+
+    def sample(u2, u1):
+        n = u2.shape[0]
+        ptype = jnp.full((n,), PHASE_HG, jnp.int32)
+        gl = jnp.full((n,), g)
+        wo, _, _ = phase_sample(ptype, gl, jnp.broadcast_to(fwd, (n, 3)), u2)
+        return wo
+
+    def pdf(d):
+        n = d.shape[0]
+        ptype = jnp.full((n,), PHASE_HG, jnp.int32)
+        return phase_eval(ptype, jnp.full((n,), g), d[..., 2])
+
+    # strongly peaked lobes need finer pdf quadrature inside each cell
+    ok, p, stat, dof = chi2_test_sphere(sample, pdf, pdf_subdiv=16)
+    assert ok, (g, p, stat, dof)
+
+
+def test_chi2_catches_wrong_pdf():
+    """The harness must REJECT a mismatched pdf (sanity of the test)."""
+    ok, p, _, _ = chi2_test_sphere(
+        lambda u2, u1: warp.square_to_cosine_hemisphere(u2),
+        lambda d: jnp.full(d.shape[:-1], warp.INV_FOURPI))
+    assert not ok
+
+
+def test_diffuse_bsdf_chi2():
+    """Diffuse BSDF sampling vs its eval/pdf (src/bsdfs/tests analog)."""
+    import liverrenderer_tpu as lr
+    from liverrenderer_tpu.accel.intersect import ray_intersect
+    from liverrenderer_tpu.bsdf.dispatch import bsdf_eval_pdf, bsdf_sample
+    from liverrenderer_tpu.core.types import Ray
+
+    d = lr.cornell_box()
+    scene = lr.load_dict(d)
+    n = 200_000
+
+    wi = jnp.array([0.3, -0.2, 0.9])
+    wi = wi / jnp.linalg.norm(wi)
+
+    def make_si(n):
+        ray = Ray(o=jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1)),
+                  d=jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1)),
+                  maxt=jnp.full((n,), jnp.inf))
+        si = ray_intersect(scene, ray)
+        return si.replace(wi=jnp.broadcast_to(wi, (n, 3)))
+
+    def sample(u2, u1):
+        si = make_si(u2.shape[0])
+        bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
+        bs = bsdf_sample(scene, si, bsdf_idx, u1, u2)
+        return bs.wo
+
+    def pdf(dirs):
+        si = make_si(dirs.shape[0])
+        bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
+        _, p = bsdf_eval_pdf(scene, si, bsdf_idx, dirs)
+        return p
+
+    ok, p, stat, dof = chi2_test_sphere(sample, pdf)
+    assert ok, (p, stat, dof)
