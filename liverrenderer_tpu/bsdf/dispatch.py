@@ -29,6 +29,7 @@ from ..core import microfacet as mf
 from ..core import warp
 from ..core.types import BSDFSample
 from ..scene.ir import (BSDF_BLEND, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
+                        BSDF_PRINCIPLED,
                         BSDF_DIFFUSE, BSDF_MASK, BSDF_NULL, BSDF_PLASTIC,
                         BSDF_ROUGHCONDUCTOR, BSDF_ROUGHDIELECTRIC,
                         BSDF_THINDIELECTRIC, F_DELTA, F_DELTA_REFL,
@@ -266,6 +267,71 @@ def _roughdielectric_sample(wi, u1, u2, p, t0, t1):
     return wo, pdf, weight, eta_s, st
 
 
+def _principled_lobes(wi, wo, p, t0):
+    """Shared terms of the principled BSDF (reference
+    src/bsdfs/principled.cpp, 905 LoC; this implements the core
+    metallic-roughness model: lambertian base + GGX specular with Schlick
+    fresnel; clearcoat/sheen/anisotropy/transmission deferred)."""
+    metallic = p[..., 0]
+    rough = jnp.maximum(p[..., 1], 0.03)
+    specular = p[..., 2]
+    alpha = rough * rough
+    base = t0
+    f0 = (0.08 * specular)[..., None] * (1.0 - metallic[..., None]) \
+        + base * metallic[..., None]
+    return metallic, alpha, base, f0
+
+
+def _schlick(f0, cos_t):
+    return f0 + (1.0 - f0) * (1.0 - jnp.clip(cos_t, 0.0, 1.0))[..., None] ** 5
+
+
+def _principled_pdf_weights(metallic):
+    # lobe selection probability (principled.cpp lobe weights)
+    p_spec = jnp.clip(0.5 * (1.0 + metallic), 0.1, 1.0)
+    return p_spec, 1.0 - p_spec
+
+
+def _principled_eval(wi, wo, p, t0, t1):
+    metallic, alpha, base, f0 = _principled_lobes(wi, wo, p, t0)
+    ci = m.cos_theta(wi)
+    co = m.cos_theta(wo)
+    act = (ci > 0) & (co > 0)
+    h = m.normalize(wi + wo)
+    d = mf.ggx_d(h, alpha, alpha)
+    g = mf.ggx_smith_g1(wi, h, alpha, alpha) \
+        * mf.ggx_smith_g1(wo, h, alpha, alpha)
+    F = _schlick(f0, jnp.sum(wi * h, -1))
+    spec = F * (d * g / jnp.maximum(4.0 * ci, 1e-8))[..., None]
+    diff = base * (1.0 - metallic[..., None]) / jnp.pi * co[..., None]
+    val = jnp.where(act[..., None], spec + diff, 0.0)
+
+    p_spec, p_diff = _principled_pdf_weights(metallic)
+    pdf_h = mf.ggx_pdf_visible(wi, h, alpha, alpha)
+    pdf_spec = pdf_h / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-8)
+    pdf = p_spec * pdf_spec + p_diff * jnp.maximum(co, 0.0) / jnp.pi
+    return val, jnp.where(act, pdf, 0.0)
+
+
+def _principled_sample(wi, u1, u2, p, t0, t1):
+    metallic, alpha, base, f0 = _principled_lobes(wi, wi, p, t0)
+    ci = m.cos_theta(wi)
+    p_spec, p_diff = _principled_pdf_weights(metallic)
+    take_spec = u1 < p_spec
+
+    h = mf.ggx_sample_vndf(wi, u2, alpha, alpha)
+    wo_spec = 2.0 * jnp.sum(wi * h, -1)[..., None] * h - wi
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(take_spec[..., None], wo_spec, wo_diff)
+
+    val, pdf = _principled_eval(wi, wo, p, t0, t1)
+    act = (ci > 0) & (m.cos_theta(wo) > 0) & (pdf > 0)
+    weight = jnp.where(act[..., None],
+                       val / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
+    return wo, jnp.where(act, pdf, 0.0), weight, jnp.ones(pdf.shape), \
+        jnp.full(pdf.shape, F_GLOSSY_REFL | F_DIFFUSE_REFL, _U32)
+
+
 def _null_sample(wi, u1, u2, p, t0, t1):
     wo = -wi
     n = wi.shape[:-1]
@@ -281,6 +347,7 @@ _SAMPLERS = {
     BSDF_ROUGHCONDUCTOR: _roughconductor_sample,
     BSDF_PLASTIC: _plastic_sample,
     BSDF_ROUGHDIELECTRIC: _roughdielectric_sample,
+    BSDF_PRINCIPLED: _principled_sample,
     BSDF_NULL: _null_sample,
 }
 
@@ -288,6 +355,7 @@ _EVALS = {
     BSDF_DIFFUSE: _diffuse_eval,
     BSDF_ROUGHCONDUCTOR: _roughconductor_eval,
     BSDF_PLASTIC: _plastic_eval,
+    BSDF_PRINCIPLED: _principled_eval,
 }
 
 

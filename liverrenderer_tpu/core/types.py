@@ -139,6 +139,10 @@ class MediumInteraction:
     combined_extinction: Array  # (N,3) majorant
     transmittance: Array        # (N,3) fork extension: liver media set this
                                 # to a one-hot channel mask (liver.cpp:521-534)
+    log_p: Array = None         # (N,) differentiable log-likelihood of the
+                                # sampled event (bio media score estimator;
+                                # 0 for stock media whose tr/pdf ratio
+                                # already carries the gradient)
 
     @property
     def valid(self) -> Array:

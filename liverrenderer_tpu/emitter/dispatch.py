@@ -14,8 +14,8 @@ from ..core import math as m
 from ..core import warp
 from ..core.types import DirectionSample
 from ..scene.ir import (EMITTER_AREA, EMITTER_CONSTANT, EMITTER_DIRECTIONAL,
-                        EMITTER_ENVMAP, EMITTER_POINT, EMITTER_SPOT, Scene,
-                        SHAPE_SPHERE)
+                        EMITTER_ENVMAP, EMITTER_POINT, EMITTER_PROJECTOR,
+                        EMITTER_SPOT, Scene, SHAPE_SPHERE)
 from ..texture.eval import eval_texture
 
 WORLD_RADIUS = 1e4  # distance placed on env/directional samples
@@ -182,6 +182,34 @@ def sample_emitter_direction(scene: Scene, ref_p, u2, u1) -> tuple:
         delta = delta | sel
         value = jnp.where(sel[:, None], inten * fall[:, None] / dist2[:, None],
                           value)
+
+    if EMITTER_PROJECTOR in tp:
+        pos = prm[..., 0:3]
+        scale_rgb = prm[..., 3:6]
+        sdir = prm[..., 8:11]
+        tan_half = jnp.maximum(prm[..., 11], 1e-4)
+        dvec = pos - ref_p
+        dist2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12)
+        dist_p = jnp.sqrt(dist2)
+        dd = dvec / dist_p[:, None]
+        # direction projector -> point in the projector frame
+        tw = em.to_world[eidx]
+        l = jnp.einsum("nji,nj->ni", tw[:, :3, :3], -dd)
+        lz = jnp.maximum(l[..., 2], 1e-6)
+        u = 0.5 * (1.0 + l[..., 0] / (lz * tan_half))
+        v = 0.5 * (1.0 + l[..., 1] / (lz * tan_half))
+        inside = (l[..., 2] > 0) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+        tex = eval_texture(scene.textures, em.tex0[eidx],
+                           jnp.stack([u, v], -1))
+        sel = etype == EMITTER_PROJECTOR
+        p = jnp.where(sel[:, None], pos, p)
+        d = jnp.where(sel[:, None], dd, d)
+        dist = jnp.where(sel, dist_p, dist)
+        pdf = jnp.where(sel, 1.0, pdf)
+        delta = delta | sel
+        val_proj = jnp.where(inside[:, None],
+                             scale_rgb * tex / dist2[:, None], 0.0)
+        value = jnp.where(sel[:, None], val_proj, value)
 
     pdf_total = pdf * sel_pdf
     # detached sampling: the density is not differentiated, the radiance is

@@ -269,6 +269,12 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     ratio = jnp.where((tr_pdf > 0)[:, None],
                       tr_a / tr_pdf_det[:, None], 0.0)
     throughput = jnp.where(in_medium[:, None], throughput * ratio, throughput)
+    if _has_bio(scene):
+        # bio media: score-function gradient of the free-flight event
+        # (value 1 forward; d/d sigma = d log p — media/dispatch.py log_p)
+        score = jnp.exp(mei.log_p - jax.lax.stop_gradient(mei.log_p))
+        throughput = jnp.where(in_medium[:, None],
+                               throughput * score[:, None], throughput)
 
     escaped = in_medium & ~mei.valid
     act_medium = in_medium & mei.valid

@@ -146,7 +146,28 @@ def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
 
     bio_type = jnp.where(in_glisson, g_type, p_type)
     distance = jnp.where(in_glisson, g_dist, p_dist)
-    return bio_type, distance, sampler
+
+    # ---- differentiable event rates for the score estimator ----
+    # competing exponentials: joint density of (t, chosen element e) is
+    # rate_e * exp(-rate_total * t); escape prob is exp(-rate_total * s).
+    # The hepatocyte uses t = -log10(sigma+1) * log(u), i.e. an exponential
+    # with rate 1/log10(sigma+1).
+    r_coll = _index_spectrum(coll, channel)
+    r_elas = _index_spectrum(elas, channel)
+    g_total = r_coll + r_elas
+    g_chosen = jnp.where(d_coll <= d_elas, r_coll, r_elas)
+
+    rate_hep = jnp.where(hep > 0, 1.0 / jnp.maximum(log10_hep, 1e-12), 0.0)
+    r_blood = _index_spectrum(blood, channel)
+    r_bile = _index_spectrum(bile, channel)
+    r_lipid = _index_spectrum(lipid, channel)
+    p_rates = jnp.stack([r_blood, r_bile, r_lipid, rate_hep], -1)
+    p_total = jnp.sum(p_rates, -1)
+    p_chosen = jnp.take_along_axis(p_rates, elem[:, None], 1)[:, 0]
+
+    rate_total = jnp.where(in_glisson, g_total, p_total)
+    rate_chosen = jnp.where(in_glisson, g_chosen, p_chosen)
+    return bio_type, distance, rate_total, rate_chosen, sampler
 
 
 def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
@@ -185,8 +206,9 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
     bio_present = any(t in tp for t in
                       (MEDIUM_GLISSON, MEDIUM_PARENCHYMA, MEDIUM_LIVER))
     if bio_present:
-        btype, bdist, sampler = _bio_compute_distance(
-            scene, midx, mtype, prm, channel, sampler, tissue_depth)
+        btype, bdist, rate_total, rate_chosen, sampler = \
+            _bio_compute_distance(scene, midx, mtype, prm, channel, sampler,
+                                  tissue_depth)
         is_bio = mtype >= MEDIUM_GLISSON
         dist = jnp.where(is_bio, bdist, dist)
         bio_type = jnp.where(is_bio, btype, bio_type)
@@ -216,6 +238,7 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
 
     # ---- bio transmittance semantics (liver.cpp:499-534) ----
     transmittance = jnp.ones((n, 3))
+    log_p = jnp.zeros((n,))
     if bio_present:
         absorbed = (bio_type == BIO_ABSORBER) \
             | ((bio_type == BIO_ABSORBER_AND_ATTENUATOR)
@@ -228,9 +251,23 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
         # absorbed lanes scatter nowhere: mark invalid scatter but keep t
         # finite so the integrator can kill them via transmittance==0
 
+        # score estimator (unbiased d/d sigma of bio free flight): the
+        # sampled distance/element are detached, the differentiable
+        # log-likelihood of the realized event re-enters via
+        # exp(log_p - stop(log_p)) in the integrator.
+        t_det = jax.lax.stop_gradient(jnp.minimum(dist, maxt))
+        t_det = jnp.where(jnp.isfinite(t_det), t_det, 0.0)
+        scattered_b = jax.lax.stop_gradient(valid)
+        lp_scatter = jnp.log(jnp.maximum(rate_chosen, 1e-20)) \
+            - rate_total * t_det
+        lp_escape = -rate_total * t_det
+        lp = jnp.where(scattered_b, lp_scatter, lp_escape)
+        log_p = jnp.where(is_bio & active, lp, 0.0)
+
     mei = MediumInteraction(
         t=t, p=p, sigma_s=sigma_s, sigma_n=sigma_n, sigma_t=sigma_t,
-        combined_extinction=majorant, transmittance=transmittance)
+        combined_extinction=majorant, transmittance=transmittance,
+        log_p=log_p)
     return mei, sampler
 
 

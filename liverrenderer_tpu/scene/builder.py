@@ -357,6 +357,19 @@ class _Builder:
             idx = self._push_bsdf(BSDF_PLASTIC, p, tex0=tex0,
                                   flags=F_DELTA_REFL | F_DIFFUSE_REFL,
                                   twosided=twosided)
+        elif t in ("principled", "principledthin"):
+            from .ir import BSDF_PRINCIPLED
+            p[0] = float(d.get("metallic", 0.0)) \
+                if not isinstance(d.get("metallic"), dict) else 0.0
+            p[1] = float(d.get("roughness", 0.5)) \
+                if not isinstance(d.get("roughness"), dict) else 0.5
+            p[2] = float(d.get("specular", 0.5))
+            p[3] = float(d.get("clearcoat", 0.0)) \
+                if not isinstance(d.get("clearcoat"), dict) else 0.0
+            tex0 = self.build_texture(d.get("base_color", 0.5), 0.5)
+            idx = self._push_bsdf(BSDF_PRINCIPLED, p, tex0=tex0,
+                                  flags=F_GLOSSY_REFL | F_DIFFUSE_REFL,
+                                  twosided=twosided)
         elif t == "null":
             idx = self._push_bsdf(BSDF_NULL, p, flags=F_NULL, twosided=True)
         elif t == "mask":
@@ -530,6 +543,43 @@ class _Builder:
                                                  d.get("cutoff_angle", 20.0) * 0.75))))
             p[8:11] = dirv / np.linalg.norm(dirv)
             return self._push_emitter(EMITTER_SPOT, p)
+        if t == "projector":
+            # textured spot (src/emitters/projector.cpp): perspective
+            # frustum from fov, irradiance texture modulates the intensity
+            to_w = from_any(d["to_world"]) if "to_world" in d else Transform()
+            pos = to_w.apply_points(np.zeros((1, 3)))[0]
+            dirv = to_w.apply_vectors(np.array([[0, 0, 1.0]]))[0]
+            fov = float(d.get("fov", 45.0))
+            p[0:3] = pos
+            p[3:6] = _spectrum_to_rgb(d.get("scale",
+                                            d.get("intensity", 1.0)), 1.0)
+            p[6] = np.cos(np.deg2rad(fov / 2.0 * 1.4142))  # corner cutoff
+            p[7] = np.cos(np.deg2rad(fov / 2.0))
+            p[8:11] = dirv / np.linalg.norm(dirv)
+            p[11] = np.tan(np.deg2rad(fov / 2.0))
+            tex0 = self.build_texture(d.get("irradiance", 1.0), 1.0)
+            from .ir import EMITTER_PROJECTOR
+            idx = self._push_emitter(EMITTER_PROJECTOR, p, tex0=tex0,
+                                     to_world=to_w.matrix)
+            return idx
+        if t in ("sunsky", "sun", "sky", "timed_sunsky"):
+            # bake the Preetham sky+sun into an envmap (emitter/sunsky.py)
+            from ..emitter.sunsky import preetham_envmap, sun_direction
+            if "sun_direction" in d:
+                sd = np.asarray(d["sun_direction"], np.float32)
+            else:
+                sd = sun_direction(hour=float(d.get("hour", 12.0)),
+                                   latitude=float(d.get("latitude", 35.0)),
+                                   day_of_year=int(d.get("day", 180)))
+            img = preetham_envmap(
+                turbidity=float(d.get("turbidity", 3.0)), sun_dir=sd,
+                sun_scale=float(d.get("sun_scale",
+                                      0.0 if t == "sky" else 1.0)),
+                sky_scale=float(d.get("sky_scale",
+                                      0.0 if t == "sun" else 1.0)))
+            return self.build_emitter(
+                {"type": "envmap", "data": img,
+                 "scale": float(d.get("scale", 1.0))})
         raise ValueError(f"unknown emitter type {t}")
 
     # --- subsurface ---------------------------------------------------------
@@ -587,7 +637,8 @@ class _Builder:
                 continue
             if k == "bsdf" or vt in ("diffuse", "dielectric", "thindielectric",
                                      "conductor", "roughconductor", "plastic",
-                                     "roughplastic", "null", "mask",
+                                     "roughplastic", "principled",
+                                     "principledthin", "null", "mask",
                                      "blendbsdf", "twosided", "bumpmap",
                                      "normalmap", "roughdielectric", "ref") \
                     and k not in ("emitter", "interior", "exterior"):
@@ -633,6 +684,15 @@ class _Builder:
                 mesh = geo.cube()
             elif t == "disk":
                 mesh = geo.disk()
+            elif t == "cylinder":
+                mesh = geo.cylinder(
+                    p0_z=float(d.get("p0", [0, 0, 0])[2]
+                               if isinstance(d.get("p0"), (list, tuple))
+                               else 0.0),
+                    p1_z=float(d.get("p1", [0, 0, 1])[2]
+                               if isinstance(d.get("p1"), (list, tuple))
+                               else 1.0),
+                    radius=float(d.get("radius", 1.0)))
             elif t in ("obj", "ply", "serialized"):
                 from .meshio import load_mesh
                 path = d["filename"] if os.path.isabs(d["filename"]) \
@@ -1004,16 +1064,19 @@ def _pack_glisson(p: np.ndarray, d: dict):
     `*_B` into G and `*_G` into B (liver.cpp:148-150) — a transcription bug
     per SURVEY §2.6; we keep the natural RGB order (replicate semantics,
     not the bug)."""
-    p[36] = float(d.get("layer1Limit", 0.0065))
-    p[37] = float(d.get("layer2Limit", 0.0072))
-    p[38] = float(d.get("layer3Limit", 0.0083))
-    p[39] = float(d.get("layer4Limit", 0.01))
+    def fl(key, default):
+        return float(_spectrum_to_rgb(d.get(key, default), default)[0])
+
+    p[36] = fl("layer1Limit", 0.0065)
+    p[37] = fl("layer2Limit", 0.0072)
+    p[38] = fl("layer3Limit", 0.0083)
+    p[39] = fl("layer4Limit", 0.01)
     for layer in range(1, 5):
         for ci, ch in enumerate("RGB"):
-            p[12 + (layer - 1) * 3 + ci] = float(
-                d.get(f"sigma_collagen{layer}_{ch}", 1.0))
-            p[24 + (layer - 1) * 3 + ci] = float(
-                d.get(f"sigma_elastin{layer}_{ch}", 1.0))
+            p[12 + (layer - 1) * 3 + ci] = fl(
+                f"sigma_collagen{layer}_{ch}", 1.0)
+            p[24 + (layer - 1) * 3 + ci] = fl(
+                f"sigma_elastin{layer}_{ch}", 1.0)
 
 
 def _pack_parenchyma(p: np.ndarray, d: dict, base: int):
@@ -1029,7 +1092,7 @@ def _pack_parenchyma(p: np.ndarray, d: dict, base: int):
     blood = _spectrum_to_rgb(d.get("sigma_blood", 1.0), 1.0)
     bile = _spectrum_to_rgb(d.get("sigma_bile", 1.0), 1.0)
     lipid = _spectrum_to_rgb(d.get("sigma_lipid_water", 1.0), 1.0)
-    hep = float(d.get("sigma_hepatocity", 1.0))
+    hep = float(_spectrum_to_rgb(d.get("sigma_hepatocity", 1.0), 1.0)[0])
     if base == 12:
         p[12:15] = blood
         p[15:18] = bile
@@ -1054,12 +1117,14 @@ def _load_vol(path: str) -> np.ndarray:
     return data.reshape(zres, yres, xres, ch)
 
 
-_SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "obj", "ply",
-                "serialized", "mesh")
+_SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
+                "ply", "serialized", "mesh")
 _EMITTER_TYPES = ("point", "constant", "envmap", "directional", "spot",
-                  "directionalarea")
+                  "directionalarea", "projector", "sunsky", "sun", "sky",
+                  "timed_sunsky")
 _BSDF_TYPES = ("diffuse", "dielectric", "thindielectric", "conductor",
-               "roughconductor", "plastic", "roughplastic", "null", "mask",
+               "roughconductor", "plastic", "roughplastic", "principled",
+               "principledthin", "null", "mask",
                "blendbsdf", "twosided", "bumpmap", "normalmap",
                "roughdielectric")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous", "glissonCapsule", "glisson",
@@ -1162,6 +1227,15 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
         elif t in ("perspective", "thinlens", "orthographic"):
             b.build_sensor(val)
 
+    # collect shapegroups for instancing
+    shapegroups = {key: val for key, val in d.items()
+                   if isinstance(val, dict)
+                   and val.get("type") == "shapegroup"}
+    shapegroups.update({val["id"]: val for val in d.values()
+                        if isinstance(val, dict)
+                        and val.get("type") == "shapegroup"
+                        and "id" in val})
+
     # pass 3: shapes + standalone emitters
     for key, val in d.items():
         if not isinstance(val, dict):
@@ -1169,6 +1243,21 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
         t = val.get("type")
         if t in _SHAPE_TYPES:
             b.add_shape(val)
+        elif t == "instance":
+            # flattened instancing (src/shapes/{shapegroup,instance}.cpp):
+            # replicate the group's shapes with the composed transform
+            gid = next(v["id"] for v in val.values()
+                       if isinstance(v, dict) and v.get("type") == "ref")
+            group = shapegroups[gid]
+            inst_tw = from_any(val["to_world"]) if "to_world" in val \
+                else Transform()
+            for sval in group.values():
+                if isinstance(sval, dict) and sval.get("type") in _SHAPE_TYPES:
+                    child = dict(sval)
+                    child_tw = from_any(child["to_world"]) \
+                        if "to_world" in child else Transform()
+                    child["to_world"] = inst_tw.matmul(child_tw)
+                    b.add_shape(child)
         elif t in _EMITTER_TYPES:
             b.build_emitter(val)
 

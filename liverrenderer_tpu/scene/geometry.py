@@ -83,6 +83,29 @@ def disk(segments: int = 64) -> MeshData:
     return MeshData(v, f, n, uv.astype(np.float32))
 
 
+def cylinder(segments: int = 64, p0_z: float = 0.0,
+             p1_z: float = 1.0, radius: float = 1.0) -> MeshData:
+    """Open cylinder along +z (src/shapes/cylinder.cpp capability;
+    tessellated with smooth normals — the analytic quadric is deferred)."""
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang)], -1)
+    v0 = np.concatenate([ring, np.full((segments, 1), p0_z)], -1)
+    v1 = np.concatenate([ring, np.full((segments, 1), p1_z)], -1)
+    v = np.concatenate([v0, v1]).astype(np.float32)
+    f = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        f.append([i, j, segments + i])
+        f.append([j, segments + j, segments + i])
+    nrm = np.concatenate([np.stack([np.cos(ang), np.sin(ang),
+                                    np.zeros_like(ang)], -1)] * 2)
+    uv = np.stack([np.concatenate([ang, ang]) / (2 * np.pi),
+                   np.concatenate([np.zeros(segments),
+                                   np.ones(segments)])], -1)
+    return MeshData(v, np.asarray(f, np.int32), nrm.astype(np.float32),
+                    uv.astype(np.float32))
+
+
 def sphere_mesh(subdiv: int = 3) -> MeshData:
     """Icosphere tessellation of the unit sphere (fallback when an analytic
     sphere cannot be used, e.g. inside shapegroups)."""

@@ -39,6 +39,7 @@ BSDF_ROUGHDIELECTRIC = 7
 BSDF_ROUGHPLASTIC = 8
 BSDF_BLEND = 9
 BSDF_MASK = 10
+BSDF_PRINCIPLED = 11
 
 EMITTER_AREA = 0
 EMITTER_POINT = 1
@@ -46,6 +47,7 @@ EMITTER_CONSTANT = 2
 EMITTER_ENVMAP = 3
 EMITTER_DIRECTIONAL = 4
 EMITTER_SPOT = 5
+EMITTER_PROJECTOR = 6
 
 TEX_CONST = 0
 TEX_BITMAP = 1

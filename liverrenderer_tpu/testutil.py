@@ -37,13 +37,20 @@ def chi2_test_sphere(sample_fn, pdf_fn, n_samples: int = 200_000,
                      pdf_subdiv: int = 4):
     """Chi-square test of a spherical sampling routine.
 
-    sample_fn(u2 (N,2), u1 (N,)) -> (N,3) unit directions
+    sample_fn(u2 (N,2), u1 (N,)) -> (N,3) unit directions, or a tuple
+    ((N,3) directions, (N,) valid mask) — invalid samples (rejected lobes,
+    zero-pdf events) are dropped like the reference's zero-bucket handling.
     pdf_fn(d (N,3)) -> (N,) solid-angle density
     Returns (passed, p_value, stat, dof)."""
     rng = np.random.default_rng(seed)
     u2 = jnp.asarray(rng.random((n_samples, 2)), jnp.float32)
     u1 = jnp.asarray(rng.random(n_samples), jnp.float32)
-    d = np.asarray(sample_fn(u2, u1))
+    out = sample_fn(u2, u1)
+    if isinstance(out, tuple):
+        d, valid = np.asarray(out[0]), np.asarray(out[1])
+        d = d[valid]
+    else:
+        d = np.asarray(out)
     assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
 
     n_cells = res_theta * res_phi

@@ -90,3 +90,56 @@ def test_diffuse_bsdf_chi2():
 
     ok, p, stat, dof = chi2_test_sphere(sample, pdf)
     assert ok, (p, stat, dof)
+
+
+@pytest.mark.parametrize("metallic,rough", [(0.0, 0.3), (1.0, 0.2),
+                                            (0.5, 0.6)])
+def test_principled_bsdf_chi2(metallic, rough):
+    """Principled BSDF sample/eval-pdf consistency."""
+    import liverrenderer_tpu as lr
+    from liverrenderer_tpu.accel.intersect import ray_intersect
+    from liverrenderer_tpu.bsdf.dispatch import bsdf_eval_pdf, bsdf_sample
+    from liverrenderer_tpu.core.types import Ray
+
+    d = lr.cornell_box()
+    d["floor_override"] = None
+    del d["floor_override"]
+    # replace a wall bsdf with principled by building a tiny scene
+    d2 = {
+        "type": "scene",
+        "integrator": {"type": "path"},
+        "sensor": d["sensor"],
+        "plane": {"type": "rectangle",
+                  "bsdf": {"type": "principled", "metallic": metallic,
+                           "roughness": rough,
+                           "base_color": {"type": "rgb",
+                                          "value": [0.7, 0.5, 0.4]}}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [1.0] * 3}},
+    }
+    scene = lr.load_dict(d2)
+    wi = jnp.array([0.4, -0.1, 0.9])
+    wi = wi / jnp.linalg.norm(wi)
+
+    def make_si(n):
+        ray = Ray(o=jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1)),
+                  d=jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1)),
+                  maxt=jnp.full((n,), jnp.inf))
+        si = ray_intersect(scene, ray)
+        return si.replace(wi=jnp.broadcast_to(wi, (n, 3)))
+
+    def sample(u2, u1):
+        si = make_si(u2.shape[0])
+        bs = bsdf_sample(scene, si,
+                         scene.shape_bsdf[jnp.maximum(si.shape, 0)], u1, u2)
+        return bs.wo, bs.pdf > 0
+
+    def pdf(dirs):
+        si = make_si(dirs.shape[0])
+        _, p = bsdf_eval_pdf(scene, si,
+                             scene.shape_bsdf[jnp.maximum(si.shape, 0)],
+                             dirs)
+        return p
+
+    ok, p, stat, dof = chi2_test_sphere(sample, pdf, pdf_subdiv=16)
+    assert ok, (metallic, rough, p, stat, dof)
