@@ -73,6 +73,74 @@ def render_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
     return run(scene, jnp.asarray(seed, jnp.uint32))
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up (the jax.distributed runtime over ICI/DCN).
+
+    On single-host slices this is a no-op; on multi-host pods call it once
+    per process before building meshes (SURVEY §2.5 P7 TPU-native
+    replacement for the absent MPI/NCCL backend)."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
+                 seed: int = 0, mode: str = "primal"):
+    """Pixel-sharded distributed render: each device renders a horizontal
+    film slab at FULL spp and keeps its shard — no collective in the
+    forward pass at all; the gather happens implicitly when the sharded
+    film is assembled (film shard-gather at develop, SURVEY §2.5).
+    Complements `render_sharded` (sample-sharded, psum-merged): tile
+    sharding scales film memory, sample sharding scales spp."""
+    spp = spp or scene.spp
+    n_dev = mesh.devices.size
+    h, w = scene.film_h, scene.film_w
+    assert h % n_dev == 0, f"film height {h} must divide over {n_dev}"
+    rows = h // n_dev
+
+    def local(scene, seed):
+        dev = jax.lax.axis_index(AXIS)
+        # render the full frame's rays whose pixel row lands in our slab:
+        # crop by rebasing the sensor row window [dev*rows, (dev+1)*rows)
+        n_pix = w * rows
+        n = n_pix * spp
+        import jax.numpy as jnp
+        from ..core.rng import make_sampler
+        from ..sensor.perspective import sample_ray
+        from ..integrators.common import _integrator_sample
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        pix_local = lane // spp
+        py = (pix_local // w).astype(jnp.uint32) + dev.astype(jnp.uint32) \
+            * rows
+        px = (pix_local % w).astype(jnp.uint32)
+        pix_global = py * w + px
+        samp = lane % spp
+        sampler = make_sampler(pix_global, samp, seed,
+                               kind=scene.sampler_kind, spp=spp)
+        uf, sampler = sampler.next_2d()
+        pos = jnp.stack([px.astype(jnp.float32),
+                         py.astype(jnp.float32)], -1) + uf
+        ray = sample_ray(scene, pos)
+        L, valid, _ = _integrator_sample(scene, sampler, ray, mode=mode)
+        L = jnp.where(jnp.isfinite(L), L, 0.0)
+        # local splat into the slab (box): pos rebased to slab rows
+        pos_local = pos.at[:, 1].add(-(dev * rows).astype(jnp.float32))
+        acc = film_mod.splat(w, rows, scene.rfilter, pos_local, L)
+        return acc
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(AXIS), check_vma=False)
+
+    @jax.jit
+    def run(sc, sd):
+        return film_mod.develop(fn(sc, sd))
+
+    return run(scene, jnp.asarray(seed, jnp.uint32))
+
+
 def make_train_step(scene: Scene, mesh: Mesh, loss_fn, optimizer,
                     spp: int, mode: str = "ad"):
     """Build a jitted distributed inverse-rendering step:

@@ -697,8 +697,9 @@ class _Builder:
                 from .meshio import load_mesh
                 path = d["filename"] if os.path.isabs(d["filename"]) \
                     else os.path.join(self.base_dir, d["filename"])
-                mesh = load_mesh(path,
-                                 face_normals=bool(d.get("face_normals", False)))
+                mesh = load_mesh(
+                    path, face_normals=bool(d.get("face_normals", False)),
+                    shape_index=int(d.get("shape_index", 0)))
             elif t == "mesh":
                 mesh = geo.MeshData(d["vertices"], d["faces"],
                                     d.get("normals"), d.get("uvs"))

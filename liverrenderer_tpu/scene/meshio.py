@@ -10,8 +10,14 @@ import numpy as np
 from . import geometry as geo
 
 
-def load_mesh(path: str, face_normals: bool = False) -> geo.MeshData:
+def load_mesh(path: str, face_normals: bool = False,
+              shape_index: int = 0) -> geo.MeshData:
     low = path.lower()
+    if low.endswith(".serialized"):
+        mesh = _load_serialized(path, shape_index)
+        if face_normals:
+            mesh.normals = None
+        return mesh
     if low.endswith(".obj"):
         from .. import _native
         if _native.available():
@@ -104,6 +110,58 @@ def _load_obj(path: str) -> geo.MeshData:
     if uvs is not None:
         uvs = np.stack([uvs[:, 0], 1.0 - uvs[:, 1]], -1).astype(np.float32)
     return geo.MeshData(verts, faces, nrms, uvs)
+
+
+def _load_serialized(path: str, shape_index: int = 0) -> geo.MeshData:
+    """Mitsuba `.serialized` mesh container (src/shapes/serialized.cpp):
+    0x041C magic + version, zlib-deflated mesh streams, and an end-of-file
+    dictionary of per-mesh offsets."""
+    import zlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = np.frombuffer(data, "<u2", 2, 0)
+    assert magic == 0x041C, f"not a serialized mesh: {path}"
+    count = int(np.frombuffer(data, "<u4", 1, len(data) - 4)[0])
+    if version >= 4:
+        offs = np.frombuffer(data, "<u8", count, len(data) - 4 - 8 * count)
+    else:
+        offs = np.frombuffer(data, "<u4", count,
+                             len(data) - 4 - 4 * count).astype(np.uint64)
+    assert 0 <= shape_index < count, (shape_index, count)
+    start = int(offs[shape_index]) + 4          # skip per-mesh magic+version
+    end = int(offs[shape_index + 1]) if shape_index + 1 < count \
+        else len(data) - 4 - (8 if version >= 4 else 4) * count
+    raw = zlib.decompress(data[start:end])
+
+    pos = 0
+
+    def take(dt, n):
+        nonlocal pos
+        a = np.frombuffer(raw, dt, n, pos)
+        pos += np.dtype(dt).itemsize * n
+        return a
+
+    flags = int(take("<u4", 1)[0])
+    if version >= 4:                            # null-terminated name
+        pos = raw.index(b"\0", pos) + 1
+    n_v = int(take("<u8", 1)[0])
+    n_t = int(take("<u8", 1)[0])
+    fdt = "<f8" if flags & 0x2000 else "<f4"
+    verts = take(fdt, n_v * 3).reshape(n_v, 3).astype(np.float32)
+    normals = None
+    uvs = None
+    if flags & 0x0001:
+        normals = take(fdt, n_v * 3).reshape(n_v, 3).astype(np.float32)
+    if flags & 0x0002:
+        uvs = take(fdt, n_v * 2).reshape(n_v, 2).astype(np.float32)
+    if flags & 0x0008:                          # vertex colors (skipped)
+        take(fdt, n_v * 3)
+    idt = "<u8" if n_v > 0xFFFFFFFF else "<u4"
+    faces = take(idt, n_t * 3).reshape(n_t, 3).astype(np.int32)
+    if flags & 0x0010:                          # face normals requested
+        normals = None
+    return geo.MeshData(verts, faces, normals, uvs)
 
 
 def _load_ply(path: str) -> geo.MeshData:

@@ -157,3 +157,35 @@ def test_moments_variance_positive():
     mean, m2 = lr.render_moments(scene, spp=4)
     var = np.asarray(m2) - np.asarray(mean) ** 2
     assert var.mean() > -1e-4
+
+
+def test_serialized_mesh_roundtrip(tmp_path):
+    """Mitsuba .serialized container loader (src/shapes/serialized.cpp)."""
+    import struct
+    import zlib
+
+    from liverrenderer_tpu.scene.meshio import load_mesh
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [2, 1, 3]], np.uint32)
+    normals = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uvs = verts[:, :2].astype(np.float32)
+
+    payload = struct.pack("<I", 0x0001 | 0x0002 | 0x1000)  # normals+uv+f32
+    payload += b"quad\0"
+    payload += struct.pack("<QQ", 4, 2)
+    payload += verts.tobytes() + normals.tobytes() + uvs.tobytes()
+    payload += faces.astype("<u4").tobytes()
+
+    blob = struct.pack("<HH", 0x041C, 4) + zlib.compress(payload)
+    blob += struct.pack("<Q", 0)          # offset of mesh 0
+    blob += struct.pack("<I", 1)          # mesh count
+    path = tmp_path / "quad.serialized"
+    path.write_bytes(blob)
+
+    mesh = load_mesh(str(path))
+    np.testing.assert_allclose(mesh.vertices, verts)
+    np.testing.assert_array_equal(mesh.faces, faces.astype(np.int32))
+    np.testing.assert_allclose(mesh.normals, normals)
+    np.testing.assert_allclose(mesh.uvs, uvs)
