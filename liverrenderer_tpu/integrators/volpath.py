@@ -149,9 +149,9 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         in_med = (medium >= 0)[:, None]
         # env emitters have dist=inf: exp(-inf*sig) is 0 but its sigma
         # derivative is nan (0*inf); sanitize so the limit (0, grad 0) holds
-        finite = jnp.isfinite(dist)[:, None]
+        finite = jnp.isfinite(dist)
         dist_f = jnp.where(finite, dist, 0.0)[:, None]
-        beer = jnp.where(finite, jnp.exp(-dist_f * sig), 0.0)
+        beer = jnp.where(finite[:, None], jnp.exp(-dist_f * sig), 0.0)
         tr = jnp.where(in_med, beer, 1.0)
         tr = jnp.where((active & ~occ)[:, None], tr, 0.0)
         return ds, em_weight * tr, sampler

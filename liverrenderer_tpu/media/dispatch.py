@@ -182,8 +182,14 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
     n = ray_o.shape[0]
     midx = jnp.maximum(medium_idx, 0)
     med = scene.media
-    mtype = med.mtype[midx]
-    prm = med.params[midx]
+    if med.count == 1:
+        # single-medium scenes (all liver benches): broadcast the one row
+        # instead of a (N, 48) gather every bounce
+        mtype = jnp.broadcast_to(med.mtype[0], (n,))
+        prm = jnp.broadcast_to(med.params[0], (n, med.params.shape[1]))
+    else:
+        mtype = med.mtype[midx]
+        prm = med.params[midx]
     scale = prm[:, 6]
     sigma_t_base = prm[:, 0:3] * scale[:, None]
     albedo = prm[:, 3:6]
@@ -285,6 +291,11 @@ def transmittance_eval_pdf(scene: Scene, medium_idx, mei: MediumInteraction,
 
 def medium_phase(scene: Scene, medium_idx):
     """(phase_type, g) lanes for the medium table."""
+    n = medium_idx.shape[0]
+    if scene.media.count == 1:
+        prm = scene.media.params[0]
+        return jnp.broadcast_to(prm[8].astype(jnp.int32), (n,)), \
+            jnp.broadcast_to(prm[7], (n,))
     midx = jnp.maximum(medium_idx, 0)
     prm = scene.media.params[midx]
     return prm[:, 8].astype(jnp.int32), prm[:, 7]

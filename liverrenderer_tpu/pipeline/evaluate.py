@@ -1,0 +1,87 @@
+"""End-to-end evaluation against the reference's shipped goldens.
+
+The results.py analog as a batch tool: renders each liver scene whose
+reference EXR golden survives in the checkout and reports RMSE/SSIM
+(optionally masked), writing a JSON table + side-by-side PNGs.
+
+    python -m liverrenderer_tpu.pipeline.evaluate --out-dir results/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+# scene xml -> (golden exr, mask exr or None), paths relative to scenes/
+CONFIGS = {
+    "Liver-MultiMesh": ("Liver-MultiMesh/mitsuba3/scene.xml",
+                        "Liver-MultiMesh/mitsuba3/scene.exr",
+                        "Liver-MultiMesh/mitsuba3/LiverMask-MultiMesh.exr"),
+}
+
+
+def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
+             downsample=4, spp=64):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lr_tpu_jax_cache")
+    import liverrenderer_tpu as lr
+    from ..log import log
+    from .results import rmse, ssim
+
+    os.makedirs(out_dir, exist_ok=True)
+    table = {}
+    for name, (xml, golden, mask) in CONFIGS.items():
+        gpath = os.path.join(scenes_dir, golden)
+        if not os.path.exists(gpath):
+            log(f"{name}: golden missing, skipped")
+            continue
+        g = lr.read_image(gpath)[..., :3]
+        h, w = g.shape[0] // downsample, g.shape[1] // downsample
+        gd = g.reshape(h, downsample, w, downsample, 3).mean((1, 3))
+        scene = lr.load_file(os.path.join(scenes_dir, xml),
+                             res_width=w, res_height=h, spp=spp)
+        t0 = time.time()
+        img = np.asarray(lr.render(scene, spp=spp, seed=0))
+        dt = time.time() - t0
+        m = None
+        if mask and os.path.exists(os.path.join(scenes_dir, mask)):
+            marr = lr.read_image(os.path.join(scenes_dir, mask))[..., 0]
+            mh = marr.shape[0] // h
+            m = marr.reshape(h, mh, w, marr.shape[1] // w).mean((1, 3)) > 0.5
+        a, b = np.clip(img, 0, 1), np.clip(gd, 0, 1)
+        entry = {
+            "rmse": rmse(a, b), "ssim": ssim(a, b),
+            "render_s": round(dt, 2),
+            "paths_per_s": round(w * h * spp / dt),
+        }
+        if m is not None:
+            entry["rmse_masked"] = rmse(a, b, m)
+            entry["ssim_masked"] = ssim(a, b, m)
+        table[name] = entry
+        lr.write_image(os.path.join(out_dir, f"{name.lower()}_ours.png"),
+                       img)
+        lr.write_image(os.path.join(out_dir, f"{name.lower()}_ref.png"), gd)
+        log(f"{name}: rmse {entry['rmse']:.4f} ssim {entry['ssim']:.4f} "
+            f"({dt:.1f}s)")
+
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(table, f, indent=2)
+    return table
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes-dir", default="/root/reference/scenes")
+    ap.add_argument("--out-dir", default="results")
+    ap.add_argument("--downsample", type=int, default=4)
+    ap.add_argument("--spp", type=int, default=64)
+    a = ap.parse_args(argv)
+    print(json.dumps(evaluate(a.scenes_dir, a.out_dir, a.downsample,
+                              a.spp), indent=2))
+
+
+if __name__ == "__main__":
+    main()

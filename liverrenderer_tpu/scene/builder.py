@@ -405,7 +405,11 @@ class _Builder:
             return idx
         t = d["type"]
         p = np.zeros(MEDIUM_P, np.float32)
-        p[0:3] = _spectrum_to_rgb(d.get("sigma_t", 1.0), 1.0)
+        st_v = d.get("sigma_t", 1.0)
+        if isinstance(st_v, dict) and st_v.get("type") == "gridvolume":
+            p[0:3] = 1.0          # density comes from the grid
+        else:
+            p[0:3] = _spectrum_to_rgb(st_v, 1.0)
         p[3:6] = _spectrum_to_rgb(d.get("albedo", 0.75), 0.75)
         p[6] = float(d.get("scale", 1.0))
         # nested phase
