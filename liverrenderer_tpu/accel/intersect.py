@@ -264,14 +264,119 @@ def _tri_strategy(scene: Scene):
     return _brute_tris if scene.n_tris <= 8192 else _bvh_tris
 
 
+_SDF_STEPS = 96
+
+
+def _sdf_trilinear(grid, whd, p):
+    """Trilinear SDF sample at local p (N,3) in [0,1]^3; grid (D,H,W)."""
+    W = (whd[0] - 1).astype(jnp.float32)
+    H = (whd[1] - 1).astype(jnp.float32)
+    D = (whd[2] - 1).astype(jnp.float32)
+    fx = jnp.clip(p[:, 0], 0.0, 1.0) * W
+    fy = jnp.clip(p[:, 1], 0.0, 1.0) * H
+    fz = jnp.clip(p[:, 2], 0.0, 1.0) * D
+    x0 = jnp.clip(fx.astype(jnp.int32), 0, (whd[0] - 2))
+    y0 = jnp.clip(fy.astype(jnp.int32), 0, (whd[1] - 2))
+    z0 = jnp.clip(fz.astype(jnp.int32), 0, (whd[2] - 2))
+    tx = fx - x0
+    ty = fy - y0
+    tz = fz - z0
+
+    def g(dz, dy, dx):
+        return grid[z0 + dz, y0 + dy, x0 + dx]
+
+    c00 = g(0, 0, 0) * (1 - tx) + g(0, 0, 1) * tx
+    c01 = g(0, 1, 0) * (1 - tx) + g(0, 1, 1) * tx
+    c10 = g(1, 0, 0) * (1 - tx) + g(1, 0, 1) * tx
+    c11 = g(1, 1, 0) * (1 - tx) + g(1, 1, 1) * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
+def _sdfs(scene: Scene, ray: Ray, t_best):
+    """Sphere-trace SDF grid shapes (sdfgrid.cpp capability): a fixed-count
+    masked march — compiler-friendly on TPU, no data-dependent trip counts.
+    Returns (t_best, sdf_idx)."""
+    N = ray.o.shape[0]
+    sdf_idx = jnp.full((N,), -1, jnp.int32)
+    eps = 1e-3
+    for k in range(scene.n_sdfs):
+        A = scene.sdf_to_local[k]
+        o_l = ray.o @ A[:3, :3].T + A[:3, 3]
+        d_l = ray.d @ A[:3, :3].T
+        dl_len = jnp.maximum(m.norm(d_l), 1e-12)
+        inv = 1.0 / jnp.where(jnp.abs(d_l) > 1e-12, d_l, 1e-12)
+        t0 = (0.0 - o_l) * inv
+        t1 = (1.0 - o_l) * inv
+        near = jnp.max(jnp.minimum(t0, t1), -1)
+        far = jnp.min(jnp.maximum(t0, t1), -1)
+        box = (near <= far) & (far > 0.0) & (near < t_best)
+        t = jnp.maximum(near, 0.0) + 1e-5
+
+        grid = scene.sdf_grids[k]
+        whd = scene.sdf_whd[k]
+
+        def body(i, carry):
+            t, hit, dead = carry
+            p = o_l + t[:, None] * d_l
+            val = _sdf_trilinear(grid, whd, p)
+            conv = (val < eps) & ~dead
+            t_next = t + jnp.maximum(val, 0.25 * eps) / dl_len
+            dead2 = dead | conv | (t_next > jnp.minimum(far, t_best))
+            t = jnp.where(dead, t, t_next)
+            # keep t at the converged point, not the advanced one
+            t = jnp.where(conv, t - jnp.maximum(val, 0.25 * eps) / dl_len, t)
+            return t, hit | conv, dead2
+
+        t_sdf, hit, _ = jax.lax.fori_loop(
+            0, _SDF_STEPS, body,
+            (t, jnp.zeros(N, bool), ~box))
+        t_sdf = jax.lax.stop_gradient(t_sdf)
+        take = hit & (t_sdf < t_best) & (t_sdf > 1e-5)
+        t_best = jnp.where(take, t_sdf, t_best)
+        sdf_idx = jnp.where(take, k, sdf_idx)
+    return t_best, sdf_idx
+
+
+def _sdf_trilinear_lanes(scene: Scene, k, p):
+    """Trilinear SDF sample with a per-lane grid index k (N,), p (N,3)."""
+    whd = scene.sdf_whd[k]                         # (N,3)
+    W = (whd[:, 0] - 1).astype(jnp.float32)
+    H = (whd[:, 1] - 1).astype(jnp.float32)
+    D = (whd[:, 2] - 1).astype(jnp.float32)
+    fx = jnp.clip(p[:, 0], 0.0, 1.0) * W
+    fy = jnp.clip(p[:, 1], 0.0, 1.0) * H
+    fz = jnp.clip(p[:, 2], 0.0, 1.0) * D
+    x0 = jnp.clip(fx.astype(jnp.int32), 0, whd[:, 0] - 2)
+    y0 = jnp.clip(fy.astype(jnp.int32), 0, whd[:, 1] - 2)
+    z0 = jnp.clip(fz.astype(jnp.int32), 0, whd[:, 2] - 2)
+    tx, ty, tz = fx - x0, fy - y0, fz - z0
+
+    def g(dz, dy, dx):
+        return scene.sdf_grids[k, z0 + dz, y0 + dy, x0 + dx]
+
+    c00 = g(0, 0, 0) * (1 - tx) + g(0, 0, 1) * tx
+    c01 = g(0, 1, 0) * (1 - tx) + g(0, 1, 1) * tx
+    c10 = g(1, 0, 0) * (1 - tx) + g(1, 0, 1) * tx
+    c11 = g(1, 1, 0) * (1 - tx) + g(1, 1, 1) * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
 def ray_intersect_preliminary(scene: Scene, ray: Ray):
-    """Returns (t, prim, u, v, sph_idx). prim=-1 & sph=-1 => miss."""
+    """Returns (t, prim, u, v, sph_idx). prim=-1 & sph=-1 => miss.
+    SDF-grid hits are encoded as sph_idx = n_spheres + k."""
     N = ray.o.shape[0]
     t_best = jnp.where(jnp.isfinite(ray.maxt), ray.maxt, INF)
     t_best = jnp.minimum(t_best, INF)
     strat = _tri_strategy(scene)
     t_best, prim, uu, vv = strat(scene, ray, t_best, any_hit=False)
     t_best, sph = _spheres(scene, ray, t_best)
+    if scene.n_sdfs:
+        t_best, sdf = _sdfs(scene, ray, t_best)
+        sph = jnp.where(sdf >= 0, scene.n_spheres + sdf, sph)
     prim = jnp.where(sph >= 0, -1, prim)
     return t_best, prim, uu, vv, sph
 
@@ -329,8 +434,44 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     shape = jnp.where(hit_sph, shape_sph,
                       jnp.where(hit_tri, shape_tri, -1)).astype(jnp.int32)
 
+    if scene.n_sdfs:
+        # SDF hits arrive encoded as sph = n_spheres + k; normal = grid
+        # gradient (central differences in local space, mapped by A^T)
+        is_sdf = hit_sph & (sph >= scene.n_spheres)
+        k = jnp.clip(sph - scene.n_spheres, 0, scene.n_sdfs - 1)
+        A = scene.sdf_to_local[k]                      # (N,4,4)
+        p_w = ray.at(t)
+        p_l = jnp.einsum("nij,nj->ni", A[:, :3, :3], p_w) + A[:, :3, 3]
+        h = 0.5 / jnp.max(scene.sdf_whd[k], -1).astype(jnp.float32)
+        grad = []
+        for ax in range(3):
+            off = jnp.zeros((1, 3)).at[0, ax].set(1.0)
+            vp = _sdf_trilinear_lanes(scene, k, p_l + off * h[:, None])
+            vm = _sdf_trilinear_lanes(scene, k, p_l - off * h[:, None])
+            grad.append(vp - vm)
+        g_l = jnp.stack(grad, -1)
+        n_w = m.normalize(jnp.einsum("nij,ni->nj", A[:, :3, :3], g_l))
+        p = jnp.where(is_sdf[:, None], p_w, p)
+        ng = jnp.where(is_sdf[:, None], n_w, ng)
+        ns = jnp.where(is_sdf[:, None], n_w, ns)
+        uv = jnp.where(is_sdf[:, None], p_l[:, :2], uv)
+        shape = jnp.where(is_sdf, scene.sdf_shape[k], shape)
+
     t_out = jnp.where(hit, t, INF)
     frame = m.make_frame(ns)
+    if scene.has_tangents:
+        # curve tubes: align the frame's s-axis with the interpolated fiber
+        # tangent so the hair BSDF's +x convention holds (scene/curves.py)
+        tg = scene.tangents[f[:, 0]] * w[:, None] \
+            + scene.tangents[f[:, 1]] * u[:, None] \
+            + scene.tangents[f[:, 2]] * v[:, None]
+        tg = tg - jnp.sum(tg * ns, -1, keepdims=True) * ns
+        tl = m.norm(tg)
+        use = (tl > 1e-6) & hit_tri
+        s = jnp.where(use[:, None], tg / jnp.maximum(tl, 1e-6)[:, None],
+                      frame.s)
+        tvec = jnp.where(use[:, None], jnp.cross(ns, s), frame.t)
+        frame = frame.replace(s=s, t=tvec)
     wi_local = frame.to_local(-ray.d)
     return SurfaceInteraction(
         t=t_out, p=p, ng=ng, sh_frame=frame, uv=uv, wi=wi_local,

@@ -29,7 +29,7 @@ from ..core import microfacet as mf
 from ..core import warp
 from ..core.types import BSDFSample
 from ..scene.ir import (BSDF_BLEND, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
-                        BSDF_PRINCIPLED,
+                        BSDF_HAIR, BSDF_PRINCIPLED,
                         BSDF_DIFFUSE, BSDF_MASK, BSDF_NULL, BSDF_PLASTIC,
                         BSDF_ROUGHCONDUCTOR, BSDF_ROUGHDIELECTRIC,
                         BSDF_THINDIELECTRIC, F_DELTA, F_DELTA_REFL,
@@ -339,6 +339,16 @@ def _null_sample(wi, u1, u2, p, t0, t1):
         jnp.full(n, F_NULL, _U32)
 
 
+def _hair_sample(wi, u1, u2, p, t0, t1):
+    from .hair import hair_sample
+    return hair_sample(wi, u1, u2, p, t0)
+
+
+def _hair_eval(wi, wo, p, t0, t1):
+    from .hair import hair_eval_pdf
+    return hair_eval_pdf(wi, wo, p, t0)
+
+
 _SAMPLERS = {
     BSDF_DIFFUSE: _diffuse_sample,
     BSDF_DIELECTRIC: _dielectric_sample,
@@ -348,6 +358,7 @@ _SAMPLERS = {
     BSDF_PLASTIC: _plastic_sample,
     BSDF_ROUGHDIELECTRIC: _roughdielectric_sample,
     BSDF_PRINCIPLED: _principled_sample,
+    BSDF_HAIR: _hair_sample,
     BSDF_NULL: _null_sample,
 }
 
@@ -356,6 +367,7 @@ _EVALS = {
     BSDF_ROUGHCONDUCTOR: _roughconductor_eval,
     BSDF_PLASTIC: _plastic_eval,
     BSDF_PRINCIPLED: _principled_eval,
+    BSDF_HAIR: _hair_eval,
 }
 
 

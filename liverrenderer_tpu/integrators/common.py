@@ -52,14 +52,18 @@ def render_pass(scene: Scene, seed: int, spp_pass: int, sample_offset: int,
     uf, sampler = sampler.next_2d()
     pos = jnp.stack([px, py], -1) + uf
 
-    from ..scene.ir import SENSOR_THINLENS
-    if scene.sensor.stype == SENSOR_THINLENS:
+    from ..scene.ir import SENSOR_IRRADIANCEMETER, SENSOR_THINLENS
+    from ..sensor.perspective import ray_weight
+    if scene.sensor.stype in (SENSOR_THINLENS, SENSOR_IRRADIANCEMETER):
         ua, sampler = sampler.next_2d()
     else:
         ua = None
     ray = sample_ray(scene, pos, ua)
     L, valid, sampler = _integrator_sample(scene, sampler, ray, mode=mode)
     L = jnp.where(jnp.isfinite(L), L, 0.0)  # NaN guard (vaescatter.cpp:469)
+    rw = ray_weight(scene)
+    if rw != 1.0:
+        L = L * rw
     return film_mod.splat(w, h, scene.rfilter, pos, L)
 
 

@@ -110,9 +110,12 @@ def render_regen(scene: Scene, seed, spp: int):
 
 
 def regen_applicable(scene: Scene, mode: str) -> bool:
-    from ..scene.ir import FILTER_BOX, SENSOR_THINLENS
+    from ..scene.ir import FILTER_BOX, SENSOR_IRRADIANCEMETER, SENSOR_THINLENS
+    # thinlens/irradiancemeter need an extra 2d sample per camera ray that
+    # the regen seeding does not draw
     return (mode == "primal"
             and scene.integrator in ("volpath", "volpathmis", "biovolpath",
                                      "biovolpath06")
             and scene.rfilter == FILTER_BOX
-            and scene.sensor.stype != SENSOR_THINLENS)
+            and scene.sensor.stype not in (SENSOR_THINLENS,
+                                           SENSOR_IRRADIANCEMETER))

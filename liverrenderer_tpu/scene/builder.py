@@ -147,6 +147,8 @@ class _Builder:
         self.faces: List[np.ndarray] = []
         self.normals: List[np.ndarray] = []
         self.uvs: List[np.ndarray] = []
+        self.tangents: List[np.ndarray] = []   # per-vertex fiber dirs (curves)
+        self.has_curves = False
         self.tri_shape: List[np.ndarray] = []
         self.v_count = 0
         self.sph_center: List[np.ndarray] = []
@@ -370,6 +372,28 @@ class _Builder:
             idx = self._push_bsdf(BSDF_PRINCIPLED, p, tex0=tex0,
                                   flags=F_GLOSSY_REFL | F_DIFFUSE_REFL,
                                   twosided=twosided)
+        elif t == "hair":
+            # src/bsdfs/hair.cpp: Chiang fiber model; melanin concentrations
+            # -> rgb absorption when sigma_a is not given
+            from .ir import BSDF_HAIR
+            int_ior = _ior(d.get("int_ior"), 1.55)
+            ext_ior = _ior(d.get("ext_ior"), 1.000277)
+            p[0] = int_ior / ext_ior
+            p[1] = float(d.get("longitudinal_roughness", d.get("beta_m", 0.3)))
+            p[2] = float(d.get("azimuthal_roughness", d.get("beta_n", 0.3)))
+            p[3] = float(np.deg2rad(float(d.get("scale_tilt",
+                                                d.get("alpha", 2.0)))))
+            if "sigma_a" in d:
+                sa = _spectrum_to_rgb(d["sigma_a"], 0.0)
+            else:
+                eu = float(d.get("eumelanin", 1.3))
+                ph = float(d.get("pheomelanin", 0.0))
+                sa = eu * np.array([0.419, 0.697, 1.37]) \
+                    + ph * np.array([0.187, 0.4, 1.05])
+            tex0 = self.add_const_texture([float(x) for x in sa])
+            idx = self._push_bsdf(BSDF_HAIR, p, tex0=tex0,
+                                  flags=F_GLOSSY_REFL | F_GLOSSY_TRANS,
+                                  twosided=False)
         elif t == "null":
             idx = self._push_bsdf(BSDF_NULL, p, flags=F_NULL, twosided=True)
         elif t == "mask":
@@ -639,6 +663,12 @@ class _Builder:
             if k == "subsurface" or vt in ("vaescatter", "dipole"):
                 ssub_idx = self.build_subsurface(v)
                 continue
+            if vt == "irradiancemeter" or (k == "sensor"
+                                           and isinstance(v, dict)):
+                # irradiancemeter.cpp: sensor nested in its parent shape
+                self.build_sensor(v)
+                self.sensor_shape = len(self.s_bsdf)
+                continue
             if k == "bsdf" or vt in ("diffuse", "dielectric", "thindielectric",
                                      "conductor", "roughconductor", "plastic",
                                      "roughplastic", "principled",
@@ -681,6 +711,27 @@ class _Builder:
             prim_off = len(self.sph_radius) - 1
             prim_cnt = 1
             area = 4.0 * np.pi * radius * radius
+        elif t == "sdfgrid":
+            # src/shapes/sdfgrid.cpp: SDF on a [0,1]^3-local grid (values in
+            # local units); sphere-traced in accel/intersect.py
+            from .ir import SHAPE_SDF
+            if "filename" in d:
+                path = d["filename"] if os.path.isabs(d["filename"]) \
+                    else os.path.join(self.base_dir, d["filename"])
+                grid = _load_vol(path)[..., 0]
+            else:
+                grid = np.asarray(d.get("grid", d.get("data")), np.float32)
+            if not hasattr(self, "sdf_grids"):
+                self.sdf_grids, self.sdf_to_local, self.sdf_shape = [], [], []
+            self.sdf_grids.append(grid.astype(np.float32))
+            self.sdf_to_local.append(
+                np.linalg.inv(to_w.matrix).astype(np.float32))
+            self.sdf_shape.append(shape_idx)
+            stype = SHAPE_SDF
+            prim_off = len(self.sdf_grids) - 1
+            prim_cnt = 1
+            sv = to_w.apply_vectors(np.eye(3))
+            area = 6.0 * float(np.cbrt(abs(np.linalg.det(sv)))) ** 2
         else:
             if t == "rectangle":
                 mesh = geo.rectangle()
@@ -704,9 +755,50 @@ class _Builder:
                 mesh = load_mesh(
                     path, face_normals=bool(d.get("face_normals", False)),
                     shape_index=int(d.get("shape_index", 0)))
-            elif t == "mesh":
+            elif t in ("mesh", "blender"):
+                # blender.cpp: in-memory mesh handed over by the host app
                 mesh = geo.MeshData(d["vertices"], d["faces"],
                                     d.get("normals"), d.get("uvs"))
+            elif t in ("linearcurve", "bsplinecurve"):
+                from .curves import curve_mesh
+                mesh, mesh_tangents = curve_mesh(d, self.base_dir, to_w)
+                self.has_curves = True
+                to_w = Transform()       # already applied pre-tessellation
+            elif t in ("ellipsoids", "ellipsoidsmesh"):
+                # src/shapes/{ellipsoids,ellipsoidsmesh}.cpp: N ellipsoids as
+                # (center, scale, quaternion) rows.  TPU-first: instanced
+                # icospheres into the dense triangle SoA (one static buffer
+                # the Pallas kernel consumes) instead of a per-primitive
+                # analytic solver.  Rows: center[0:3] scale[3:6]
+                # quat(x,y,z,w)[6:10] (drjit quaternion storage order).
+                if "data" in d:
+                    rows = np.asarray(d["data"], np.float32).reshape(-1, 10)
+                    centers, scales, quats = rows[:, 0:3], rows[:, 3:6], \
+                        rows[:, 6:10]
+                else:
+                    centers = np.asarray(d["centers"], np.float32)
+                    scales = np.asarray(d["scales"], np.float32)
+                    quats = np.asarray(d["quaternions"], np.float32)
+                extent = float(d.get("extent", 3.0))
+                R = geo.quat_to_matrix(quats)                  # (N,3,3)
+                base = geo.icosphere(int(d.get("subdiv", 1)))
+                bv, bf = base.vertices, base.faces
+                n_e, n_v = len(centers), len(bv)
+                # world verts: c + R @ (s * extent * v)
+                sv = bv[None, :, :] * (scales[:, None, :] * extent)
+                wv = np.einsum("nij,nvj->nvi", R, sv) \
+                    + centers[:, None, :]
+                # normals: M^-T n = R @ (n / s)
+                nn = bv[None, :, :] / np.maximum(scales[:, None, :], 1e-12)
+                wn = np.einsum("nij,nvj->nvi", R, nn)
+                wn /= np.maximum(np.linalg.norm(wn, axis=-1, keepdims=True),
+                                 1e-12)
+                faces = (bf[None, :, :] + (np.arange(n_e) * n_v)[:, None,
+                                                                 None])
+                mesh = geo.MeshData(wv.reshape(-1, 3),
+                                    faces.reshape(-1, 3).astype(np.int32),
+                                    wn.reshape(-1, 3),
+                                    np.zeros((n_e * n_v, 2), np.float32))
             else:
                 raise ValueError(f"unknown shape type {t}")
             mesh = mesh.transformed(to_w)
@@ -723,6 +815,10 @@ class _Builder:
             self.faces.append(mesh.faces + self.v_count)
             self.normals.append(mesh.normals)
             self.uvs.append(mesh.uvs)
+            self.tangents.append(
+                locals().get("mesh_tangents")
+                if t in ("linearcurve", "bsplinecurve")
+                else np.zeros_like(mesh.vertices))
             self.tri_shape.append(
                 np.full(len(mesh.faces), shape_idx, np.int32))
             self.v_count += len(mesh.vertices)
@@ -749,16 +845,48 @@ class _Builder:
     # --- sensor/film --------------------------------------------------------
     def build_sensor(self, d):
         from .ir import (FILTER_CATMULLROM, FILTER_LANCZOS, FILTER_MITCHELL,
+                         SENSOR_BATCH, SENSOR_DISTANT, SENSOR_IRRADIANCEMETER,
                          SENSOR_ORTHOGRAPHIC, SENSOR_PERSPECTIVE,
-                         SENSOR_THINLENS)
+                         SENSOR_RADIANCEMETER, SENSOR_THINLENS)
         to_w = d.get("to_world")
         if to_w is not None:
             self.sensor_to_world = from_any(to_w).matrix.astype(np.float32)
         self.sensor_type = {"perspective": SENSOR_PERSPECTIVE,
                             "thinlens": SENSOR_THINLENS,
-                            "orthographic": SENSOR_ORTHOGRAPHIC}.get(
+                            "orthographic": SENSOR_ORTHOGRAPHIC,
+                            "distant": SENSOR_DISTANT,
+                            "radiancemeter": SENSOR_RADIANCEMETER,
+                            "irradiancemeter": SENSOR_IRRADIANCEMETER,
+                            "batch": SENSOR_BATCH}.get(
                                 d.get("type", "perspective"),
                                 SENSOR_PERSPECTIVE)
+        if "direction" in d and self.sensor_type == SENSOR_DISTANT:
+            # distant.cpp: explicit direction prop overrides to_world
+            dvec = np.asarray(d["direction"], np.float64)
+            dvec = dvec / np.linalg.norm(dvec)
+            s = np.cross([0.0, 1.0, 0.0] if abs(dvec[1]) < 0.99
+                         else [1.0, 0.0, 0.0], dvec)
+            s /= np.linalg.norm(s)
+            up = np.cross(dvec, s)
+            mtx = np.eye(4, dtype=np.float32)
+            mtx[:3, 0], mtx[:3, 1], mtx[:3, 2] = s, up, dvec
+            self.sensor_to_world = mtx
+        if "target" in d:
+            self.sensor_target = np.asarray(d["target"], np.float32)
+        if self.sensor_type == SENSOR_BATCH:
+            # batch.cpp: concatenate child sensors along the film width
+            mats, fovs = [], []
+            for v in d.values():
+                if isinstance(v, dict) and v.get("type") in (
+                        "perspective", "thinlens", "orthographic"):
+                    sub = _Builder.__new__(_Builder)
+                    sub.sensor_to_world = np.eye(4, dtype=np.float32)
+                    sub.build_sensor(v)
+                    mats.append(sub.sensor_to_world)
+                    fovs.append(sub.fov_x)
+            if mats:
+                self.batch_to_world = np.stack(mats)
+                self.batch_fov_x = np.asarray(fovs, np.float32)
         self.aperture_radius = float(d.get("aperture_radius", 0.0))
         self.focus_distance = float(d.get("focus_distance", 1.0))
         fov = float(d.get("fov", 45.0))
@@ -801,6 +929,27 @@ class _Builder:
             else np.zeros((1, 3), np.float32)
         UV = np.concatenate(self.uvs) if self.uvs \
             else np.zeros((1, 2), np.float32)
+        TGT = np.concatenate(self.tangents) if self.has_curves \
+            else np.zeros((1, 3), np.float32)
+        # SDF grid shapes: pad to a common (D, H, W) stack
+        sdf_list = getattr(self, "sdf_grids", [])
+        N_SDF = len(sdf_list)
+        if N_SDF:
+            Dm = max(g.shape[0] for g in sdf_list)
+            Hm = max(g.shape[1] for g in sdf_list)
+            Wm = max(g.shape[2] for g in sdf_list)
+            SDF_G = np.full((N_SDF, Dm, Hm, Wm), 1e9, np.float32)
+            for i, g in enumerate(sdf_list):
+                SDF_G[i, :g.shape[0], :g.shape[1], :g.shape[2]] = g
+            SDF_WHD = np.array([[g.shape[2], g.shape[1], g.shape[0]]
+                                for g in sdf_list], np.int32)
+            SDF_L = np.stack(self.sdf_to_local)
+            SDF_SH = np.asarray(self.sdf_shape, np.int32)
+        else:
+            SDF_G = np.zeros((1, 2, 2, 2), np.float32)
+            SDF_WHD = np.full((1, 3), 2, np.int32)
+            SDF_L = np.eye(4, dtype=np.float32)[None]
+            SDF_SH = np.full((1,), -1, np.int32)
         TS = np.concatenate(self.tri_shape).astype(np.int32) if self.tri_shape \
             else np.zeros((1,), np.int32)
 
@@ -937,6 +1086,23 @@ class _Builder:
             depth=int(bvh_np.depth),
         )
 
+        # scene bounding sphere (distant-sensor origin disk)
+        pts = [V]
+        if self.sph_center:
+            cs = np.asarray(self.sph_center, np.float32)
+            rs = np.asarray(self.sph_radius, np.float32)[:, None]
+            pts += [cs - rs, cs + rs]
+        for i in range(len(getattr(self, "sdf_grids", []))):
+            M = np.linalg.inv(self.sdf_to_local[i])
+            corners = np.array([[x, y, z, 1.0] for x in (0, 1)
+                                for y in (0, 1) for z in (0, 1)], np.float32)
+            pts.append((corners @ M.T)[:, :3])
+        allp = np.concatenate(pts)
+        bc = 0.5 * (allp.min(0) + allp.max(0))
+        br = float(np.linalg.norm(allp - bc, axis=1).max()) if len(allp) \
+            else 1.0
+        tgt = getattr(self, "sensor_target", None)
+
         sensor = Sensor(
             to_world=jnp.asarray(self.sensor_to_world, jnp.float32),
             fov_x=jnp.asarray(self.fov_x, jnp.float32),
@@ -946,7 +1112,21 @@ class _Builder:
                 getattr(self, "aperture_radius", 0.0), jnp.float32),
             focus_distance=jnp.asarray(
                 getattr(self, "focus_distance", 1.0), jnp.float32),
+            bsphere=jnp.asarray([bc[0], bc[1], bc[2], max(br, 1e-6)],
+                                jnp.float32),
+            target=jnp.asarray(tgt if tgt is not None else np.zeros(3),
+                               jnp.float32),
+            batch_to_world=jnp.asarray(
+                getattr(self, "batch_to_world",
+                        np.eye(4, dtype=np.float32)[None]), jnp.float32),
+            batch_fov_x=jnp.asarray(
+                getattr(self, "batch_fov_x", np.full(1, 45.0, np.float32)),
+                jnp.float32),
             stype=getattr(self, "sensor_type", 0),
+            has_target=tgt is not None,
+            target_shape=getattr(self, "sensor_shape", -1),
+            batch_count=int(getattr(self, "batch_to_world",
+                                    np.zeros((1,))).shape[0]),
         )
 
         n_s = len(self.s_bsdf)
@@ -1007,6 +1187,13 @@ class _Builder:
             faces=jnp.asarray(F),
             normals=jnp.asarray(Nrm, jnp.float32),
             uvs=jnp.asarray(UV, jnp.float32),
+            tangents=jnp.asarray(TGT, jnp.float32),
+            has_tangents=self.has_curves,
+            sdf_grids=jnp.asarray(SDF_G, jnp.float32),
+            sdf_whd=jnp.asarray(SDF_WHD, jnp.int32),
+            sdf_to_local=jnp.asarray(SDF_L, jnp.float32),
+            sdf_shape=jnp.asarray(SDF_SH, jnp.int32),
+            n_sdfs=N_SDF,
             tri_shape=jnp.asarray(TS),
             sph_center=jnp.asarray(np.stack(self.sph_center)
                                    if self.sph_center
@@ -1123,7 +1310,8 @@ def _load_vol(path: str) -> np.ndarray:
 
 
 _SHAPE_TYPES = ("rectangle", "cube", "sphere", "disk", "cylinder", "obj",
-                "ply", "serialized", "mesh")
+                "ply", "serialized", "mesh", "linearcurve", "bsplinecurve",
+                "sdfgrid", "blender", "ellipsoids", "ellipsoidsmesh")
 _EMITTER_TYPES = ("point", "constant", "envmap", "directional", "spot",
                   "directionalarea", "projector", "sunsky", "sun", "sky",
                   "timed_sunsky")
@@ -1229,7 +1417,8 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
                 b.max_depth = 64
             b.rr_depth = int(val.get("rr_depth", 5))
             b.hide_emitters = bool(val.get("hide_emitters", False))
-        elif t in ("perspective", "thinlens", "orthographic"):
+        elif t in ("perspective", "thinlens", "orthographic", "distant",
+                   "radiancemeter", "irradiancemeter", "batch"):
             b.build_sensor(val)
 
     # collect shapegroups for instancing

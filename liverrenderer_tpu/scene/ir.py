@@ -40,6 +40,7 @@ BSDF_ROUGHPLASTIC = 8
 BSDF_BLEND = 9
 BSDF_MASK = 10
 BSDF_PRINCIPLED = 11
+BSDF_HAIR = 12
 
 EMITTER_AREA = 0
 EMITTER_POINT = 1
@@ -65,6 +66,7 @@ PHASE_RAYLEIGH = 2
 
 SHAPE_MESH = 0
 SHAPE_SPHERE = 1
+SHAPE_SDF = 2
 
 FILTER_BOX = 0
 FILTER_GAUSSIAN = 1
@@ -76,6 +78,10 @@ FILTER_LANCZOS = 5
 SENSOR_PERSPECTIVE = 0
 SENSOR_THINLENS = 1
 SENSOR_ORTHOGRAPHIC = 2
+SENSOR_DISTANT = 3
+SENSOR_RADIANCEMETER = 4
+SENSOR_IRRADIANCEMETER = 5
+SENSOR_BATCH = 6
 
 # BSDF flag bits (subset of reference include/mitsuba/render/bsdf.h BSDFFlags)
 F_NULL = 1 << 0
@@ -258,7 +264,23 @@ class Sensor:
         default_factory=lambda: jnp.float32(0.0))
     focus_distance: Array = struct.field(
         default_factory=lambda: jnp.float32(1.0))
+    # distant sensor (src/sensors/distant.cpp): scene bounding sphere
+    # (cx, cy, cz, r) for cross-section origin sampling + optional target
+    bsphere: Array = struct.field(
+        default_factory=lambda: jnp.array([0, 0, 0, 1], jnp.float32))
+    target: Array = struct.field(
+        default_factory=lambda: jnp.zeros(3, jnp.float32))
+    # batch sensor (src/sensors/batch.cpp): stacked child camera params,
+    # film width split evenly across children
+    batch_to_world: Array = struct.field(
+        default_factory=lambda: jnp.eye(4, dtype=jnp.float32)[None])
+    batch_fov_x: Array = struct.field(
+        default_factory=lambda: jnp.full((1,), 45.0, jnp.float32))
     stype: int = static_field(default=SENSOR_PERSPECTIVE)
+    has_target: bool = static_field(default=False)
+    # irradiancemeter (src/sensors/irradiancemeter.cpp): parent shape index
+    target_shape: int = static_field(default=-1)
+    batch_count: int = static_field(default=1)
 
 
 @struct.dataclass
@@ -298,10 +320,25 @@ class Scene:
     bvh: BVH
     sensor: Sensor
     ssub: SubsurfaceTable
+    # per-vertex fiber tangents for curve tubes ((1,3) zeros when unused);
+    # hair shading frames take s = tangent (scene/curves.py)
+    tangents: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    # SDF grid shapes (reference src/shapes/sdfgrid.cpp): signed-distance
+    # values on a [0,1]^3-local grid, sphere-traced in the intersector
+    sdf_grids: Array = struct.field(          # (K, D, H, W) padded
+        default_factory=lambda: jnp.zeros((1, 2, 2, 2), jnp.float32))
+    sdf_whd: Array = struct.field(            # (K, 3) true (W, H, D)
+        default_factory=lambda: jnp.full((1, 3), 2, jnp.int32))
+    sdf_to_local: Array = struct.field(       # (K, 4, 4) world -> unit cube
+        default_factory=lambda: jnp.eye(4, dtype=jnp.float32)[None])
+    sdf_shape: Array = struct.field(          # (K,) owning shape id
+        default_factory=lambda: jnp.full((1,), -1, jnp.int32))
     # ------------- static config -------------
     n_shapes: int = static_field(default=0)
     n_tris: int = static_field(default=0)
     n_spheres: int = static_field(default=0)
+    n_sdfs: int = static_field(default=0)
     film_w: int = static_field(default=256)
     film_h: int = static_field(default=256)
     rfilter: int = static_field(default=FILTER_GAUSSIAN)
@@ -314,6 +351,8 @@ class Scene:
     camera_medium: int = static_field(default=-1)
     intersector: str = static_field(default="auto")  # auto|brute|bvh|pallas
     has_bump: bool = static_field(default=False)
+    # curve tubes present: shading frames align s with the fiber tangent
+    has_tangents: bool = static_field(default=False)
     # Static NEE reachability, computed at build: surface NEE needs a
     # shape-referenced smooth BSDF; medium NEE needs a non-bio medium under
     # a volpath-family integrator.  When both are false the whole

@@ -143,3 +143,30 @@ def test_principled_bsdf_chi2(metallic, rough):
 
     ok, p, stat, dof = chi2_test_sphere(sample, pdf, pdf_subdiv=16)
     assert ok, (metallic, rough, p, stat, dof)
+
+
+@pytest.mark.parametrize("beta_m,beta_n", [(0.3, 0.3), (0.6, 0.2)])
+def test_hair_bsdf_chi2(beta_m, beta_n):
+    """Hair fiber sampling vs pdf (src/bsdfs/hair.cpp capability)."""
+    from liverrenderer_tpu.bsdf.hair import hair_eval_pdf, hair_sample
+
+    wi = jnp.array([0.35, 0.2, 0.91])
+    wi = wi / jnp.linalg.norm(wi)
+    p_row = jnp.array([1.55, beta_m, beta_n, np.deg2rad(2.0)])
+
+    def sample(u2, u1):
+        n = u2.shape[0]
+        wo, _, _, _, _ = hair_sample(
+            jnp.broadcast_to(wi, (n, 3)), u1, u2,
+            jnp.broadcast_to(p_row, (n, 4)), jnp.full((n, 3), 0.2))
+        return wo
+
+    def pdf(dirs):
+        n = dirs.shape[0]
+        _, p = hair_eval_pdf(jnp.broadcast_to(wi, (n, 3)), dirs,
+                             jnp.broadcast_to(p_row, (n, 4)),
+                             jnp.full((n, 3), 0.2))
+        return p
+
+    ok, p, stat, dof = chi2_test_sphere(sample, pdf, pdf_subdiv=16)
+    assert ok, (beta_m, beta_n, p, stat, dof)
