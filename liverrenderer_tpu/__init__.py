@@ -20,6 +20,7 @@ from .integrators.prb import render_grad, render_fwd_grad
 from .integrators.aux import (render_aovs, render_depth, render_direct,
                               render_moments)
 from .integrators.ptracer import render_ptracer
+from .integrators.stokes import render_stokes
 from .util import traverse, apply_params, SceneParameters
 from .io.image import read_image, write_image
 
@@ -28,6 +29,7 @@ __version__ = "0.1.0"
 __all__ = [
     "load_dict", "load_file", "cornell_box", "Transform", "render",
     "render_grad", "render_fwd_grad", "render_aovs", "render_depth",
-    "render_direct", "render_moments", "render_ptracer", "traverse",
+    "render_direct", "render_moments", "render_ptracer", "render_stokes",
+    "traverse",
     "apply_params", "SceneParameters", "read_image", "write_image",
 ]

@@ -28,8 +28,10 @@ from ..core import math as m
 from ..core import microfacet as mf
 from ..core import warp
 from ..core.types import BSDFSample
-from ..scene.ir import (BSDF_BLEND, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
-                        BSDF_HAIR, BSDF_PRINCIPLED,
+from ..scene.ir import (BSDF_BLEND, BSDF_CIRCULAR, BSDF_CONDUCTOR,
+                        BSDF_DIELECTRIC,
+                        BSDF_HAIR, BSDF_POLARIZER, BSDF_PRINCIPLED,
+                        BSDF_RETARDER,
                         BSDF_DIFFUSE, BSDF_MASK, BSDF_NULL, BSDF_PLASTIC,
                         BSDF_ROUGHCONDUCTOR, BSDF_ROUGHDIELECTRIC,
                         BSDF_THINDIELECTRIC, F_DELTA, F_DELTA_REFL,
@@ -339,6 +341,32 @@ def _null_sample(wi, u1, u2, p, t0, t1):
         jnp.full(n, F_NULL, _U32)
 
 
+def _polarizer_sample(wi, u1, u2, p, t0, t1):
+    """Ideal linear polarizer element (src/bsdfs/polarizer.cpp): straight
+    transmission; unpolarized scalar mode passes M00 = transmittance/2."""
+    wo = -wi
+    n = wi.shape[:-1]
+    return wo, jnp.ones(n), 0.5 * t0, jnp.ones(n), \
+        jnp.full(n, F_NULL, _U32)
+
+
+def _retarder_sample(wi, u1, u2, p, t0, t1):
+    """Linear retarder (src/bsdfs/retarder.cpp): phase only — unpolarized
+    scalar transmission is the full transmittance."""
+    wo = -wi
+    n = wi.shape[:-1]
+    return wo, jnp.ones(n), t0, jnp.ones(n), jnp.full(n, F_NULL, _U32)
+
+
+def _circular_sample(wi, u1, u2, p, t0, t1):
+    """Circular polarizer (src/bsdfs/circular.cpp): passes half of
+    unpolarized light."""
+    wo = -wi
+    n = wi.shape[:-1]
+    return wo, jnp.ones(n), 0.5 * t0, jnp.ones(n), \
+        jnp.full(n, F_NULL, _U32)
+
+
 def _hair_sample(wi, u1, u2, p, t0, t1):
     from .hair import hair_sample
     return hair_sample(wi, u1, u2, p, t0)
@@ -359,6 +387,9 @@ _SAMPLERS = {
     BSDF_ROUGHDIELECTRIC: _roughdielectric_sample,
     BSDF_PRINCIPLED: _principled_sample,
     BSDF_HAIR: _hair_sample,
+    BSDF_POLARIZER: _polarizer_sample,
+    BSDF_RETARDER: _retarder_sample,
+    BSDF_CIRCULAR: _circular_sample,
     BSDF_NULL: _null_sample,
 }
 
@@ -433,4 +464,9 @@ def eval_null_transmission(scene: Scene, si, bsdf_idx):
     if BSDF_MASK in scene.bsdfs.types_present:
         op = eval_texture(scene.textures, scene.bsdfs.tex0[idx], si.uv)
         out = jnp.where((btype == BSDF_MASK)[..., None], 1.0 - op, out)
+    for ptype, fac in ((BSDF_POLARIZER, 0.5), (BSDF_RETARDER, 1.0),
+                       (BSDF_CIRCULAR, 0.5)):
+        if ptype in scene.bsdfs.types_present:
+            tr = eval_texture(scene.textures, scene.bsdfs.tex0[idx], si.uv)
+            out = jnp.where((btype == ptype)[..., None], fac * tr, out)
     return out

@@ -30,6 +30,12 @@ def _integrator_sample(scene: Scene, sampler, ray, mode="primal"):
     if name in ("volpath", "volpathmis", "biovolpath", "biovolpath06",
                 "prbvolpath"):
         return volpath_mod.sample(scene, sampler, ray, mode=mode)
+    if name == "stokes":
+        # lr.render on a stokes scene yields S0 (= the unpolarized image);
+        # render_stokes exposes the full Stokes AOVs (stokes.cpp)
+        from .stokes import sample_stokes
+        S, sampler = sample_stokes(scene, sampler, ray)
+        return S[:, :, 0], jnp.ones(S.shape[0], bool), sampler
     raise ValueError(f"unknown integrator {name}")
 
 

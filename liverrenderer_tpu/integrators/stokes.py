@@ -1,0 +1,231 @@
+"""Polarized transport: the `stokes` integrator (reference
+src/integrators/stokes.cpp + the polarized variants' Mueller-valued
+Spectrum throughput).
+
+TPU redesign: instead of templating the whole renderer on a polarized
+Spectrum type, this dedicated wavefront loop carries a per-lane Mueller
+throughput T (N, 3, 4, 4) alongside the scalar path state.  Directions are
+sampled by the *scalar* BSDF dispatch (identical pdf), then the sampled
+event's polarization transfer is applied as a normalized Mueller matrix
+(M00 = 1) times the scalar weight — S0 therefore matches the unpolarized
+renderer exactly, and S1..S3 carry the polarization state.
+
+Estimator: BSDF-sampling path tracing (no NEE) — the usual regime for the
+stokes integrator's specular/polarizer analysis scenes.  Stokes vectors
+are expressed in the canonical basis of each ray (core/mueller.py
+stokes_basis) with light travelling along -ray.d; the film output is in
+the primary ray's canonical basis.
+
+Polarizing events: smooth/rough conductor + smooth dielectric reflection
+(s/p Fresnel Mueller, mueller.h specular_reflection), linear polarizer /
+retarder / circular elements (axis from the shading frame rotated by
+theta).  Everything else depolarizes (diffuse, plastic substrate, media
+are out of scope here — reference behavior for pbasic variants).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..accel.intersect import ray_intersect
+from ..bsdf.dispatch import bsdf_sample
+from ..core import math as m
+from ..core import mueller as mu
+from ..core.rng import Sampler, make_sampler
+from ..core.types import Ray
+from ..scene.ir import (BSDF_CIRCULAR, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
+                        BSDF_POLARIZER, BSDF_RETARDER, BSDF_ROUGHCONDUCTOR,
+                        F_DELTA_REFL, F_GLOSSY_REFL, Scene)
+from ..emitter.dispatch import eval_emitter_hit, eval_environment
+from ..sensor.perspective import sample_ray
+from .shading import shading_frame_with_bump
+
+Array = jax.Array
+
+
+@struct.dataclass
+class PolState:
+    active: Array      # (N,)
+    depth: Array
+    ray_o: Array
+    ray_d: Array
+    S: Array           # (N, 3, 4) accumulated camera Stokes per channel
+    T: Array           # (N, 3, 4, 4) Mueller path throughput
+    sampler: Sampler
+
+
+def _event_mueller(scene: Scene, si, bs, d_in_light, d_out_light, basis_in,
+                   basis_out):
+    """Normalized (M00=1) Mueller matrix of the sampled event, expressed
+    from the canonical basis of the incoming light ray to the canonical
+    basis of the outgoing (camera-side) ray."""
+    n = d_in_light.shape[0]
+    bidx = jnp.maximum(scene.shape_bsdf[jnp.maximum(si.shape, 0)], 0)
+    btype = scene.bsdfs.btype[bidx]
+    prm = scene.bsdfs.params[bidx]
+    # default: depolarizer (diffuse & friends) — basis-independent
+    M = jnp.broadcast_to(mu.depolarizer(1.0), (n, 3, 4, 4))
+
+    types = set(scene.bsdfs.types_present)
+
+    # --- specular / rough Fresnel reflection (conductor, dielectric R) ----
+    fresnel_types = types & {BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR,
+                             BSDF_DIELECTRIC}
+    if fresnel_types:
+        # plane of incidence from the half vector (= microfacet normal)
+        h = m.normalize(d_out_light - d_in_light)      # both light dirs
+        ci = jnp.abs(jnp.sum(d_in_light * h, -1))
+        s_axis = jnp.cross(d_in_light, h)
+        sl = m.norm(s_axis)
+        # near-normal incidence: plane undefined -> any axis, no phase diff
+        s_axis = jnp.where((sl > 1e-6)[:, None],
+                           s_axis / jnp.maximum(sl, 1e-6)[:, None],
+                           basis_in)
+        is_cond = (btype == BSDF_CONDUCTOR) | (btype == BSDF_ROUGHCONDUCTOR)
+        eta_re = jnp.where(is_cond[:, None], prm[:, 0:3],
+                           prm[:, 0:1])       # dielectric: real eta
+        eta_im = jnp.where(is_cond[:, None], prm[:, 3:6], 0.0)
+        # per-channel Mueller; normalize by the unpolarized reflectance
+        Ms = []
+        for c in range(3):
+            Mc = mu.specular_reflection_fresnel(ci, eta_re[:, c],
+                                                eta_im[:, c])
+            Mc = Mc / jnp.maximum(Mc[:, 0:1, 0:1], 1e-12)
+            Ms.append(Mc)
+        M_sp = jnp.stack(Ms, 1)                        # (N,3,4,4)
+        R_in = mu.rotator(mu.rotation_angle(d_in_light, basis_in, s_axis))
+        R_out = mu.rotator(mu.rotation_angle(d_out_light, s_axis, basis_out))
+        M_f = jnp.einsum("nij,ncjk,nkl->ncil", R_out, M_sp, R_in)
+        sel = jnp.zeros(n, bool)
+        for ftype in fresnel_types:
+            sel = sel | (btype == ftype)
+        # dielectric transmission keeps the scalar weight but depolarizes
+        # (refraction phase out of scope round 1)
+        refl = (bs.sampled_type & (F_DELTA_REFL | F_GLOSSY_REFL)) != 0
+        sel = sel & refl
+        M = jnp.where(sel[:, None, None, None], M_f, M)
+
+    # --- polarizer / retarder / circular elements -------------------------
+    elem_types = types & {BSDF_POLARIZER, BSDF_RETARDER, BSDF_CIRCULAR}
+    if elem_types:
+        theta = prm[:, 0]
+        # transmission axis: shading-frame s rotated by theta about n,
+        # projected perpendicular to the (straight) ray
+        ax = si.sh_frame.s * jnp.cos(theta)[:, None] \
+            + si.sh_frame.t * jnp.sin(theta)[:, None]
+        ax = ax - jnp.sum(ax * d_in_light, -1, keepdims=True) * d_in_light
+        axl = m.norm(ax)
+        ax = jnp.where((axl > 1e-6)[:, None],
+                       ax / jnp.maximum(axl, 1e-6)[:, None], basis_in)
+        M_pol = mu.linear_polarizer(1.0) * 2.0          # M00 = 1
+        M_ret = mu.linear_retarder(prm[:, 1])
+        left = prm[:, 2] > 0.5
+        M_cir = jnp.where(left[:, None, None],
+                          mu.circular_polarizer(True) * 2.0,
+                          mu.circular_polarizer(False) * 2.0)
+        M_el = jnp.broadcast_to(jnp.eye(4), (n, 4, 4))
+        if BSDF_POLARIZER in elem_types:
+            M_el = jnp.where((btype == BSDF_POLARIZER)[:, None, None],
+                             jnp.broadcast_to(M_pol, (n, 4, 4)), M_el)
+        if BSDF_RETARDER in elem_types:
+            M_el = jnp.where((btype == BSDF_RETARDER)[:, None, None],
+                             M_ret, M_el)
+        if BSDF_CIRCULAR in elem_types:
+            M_el = jnp.where((btype == BSDF_CIRCULAR)[:, None, None],
+                             M_cir, M_el)
+        M_el = mu.rotate_mueller_basis(M_el, d_in_light, basis_in, ax,
+                                       d_out_light, basis_out, ax)
+        sel = jnp.zeros(n, bool)
+        for ftype in elem_types:
+            sel = sel | (btype == ftype)
+        M = jnp.where(sel[:, None, None, None], M_el[:, None], M)
+
+    return M
+
+
+def bounce(scene: Scene, st: PolState) -> PolState:
+    n = st.ray_o.shape[0]
+    active = st.active
+    ray = Ray(o=st.ray_o, d=st.ray_d, maxt=jnp.full((n,), jnp.inf))
+    si = ray_intersect(scene, ray)
+    si = shading_frame_with_bump(scene, si, ray)
+
+    # unpolarized emission through the Mueller path: S += c * T[..., :, 0]
+    em_val, eidx = eval_emitter_hit(scene, si, ray.d)
+    env_val = eval_environment(scene, ray.d)
+    contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0) \
+        + jnp.where((~si.valid)[:, None], env_val, 0.0)
+    S = st.S + jnp.where(active[:, None, None],
+                         st.T[..., :, 0] * contrib[:, :, None], 0.0)
+
+    active_next = active & si.valid & (st.depth + 1 < scene.max_depth)
+
+    ub1, sampler = st.sampler.next_1d()
+    ub2, sampler = sampler.next_2d()
+    bs = bsdf_sample(scene, si, scene.shape_bsdf[jnp.maximum(si.shape, 0)],
+                     ub1, ub2)
+    wo_world = si.to_world(bs.wo)
+    new_ray = si.spawn_ray(wo_world)
+    alive = active_next & (bs.pdf > 0) & jnp.any(bs.weight != 0.0, -1)
+
+    d_in_light = -wo_world            # light arrives along the new ray
+    d_out_light = -ray.d              # and leaves toward the camera
+    basis_in = mu.stokes_basis(d_in_light)
+    basis_out = mu.stokes_basis(d_out_light)
+    M = _event_mueller(scene, si, bs, d_in_light, d_out_light,
+                       basis_in, basis_out)
+    T = jnp.einsum("ncij,ncjk->ncik", st.T, M) \
+        * bs.weight[:, :, None, None]
+
+    return st.replace(
+        active=alive,
+        depth=st.depth + 1,
+        ray_o=jnp.where(alive[:, None], new_ray.o, st.ray_o),
+        ray_d=jnp.where(alive[:, None], new_ray.d, st.ray_d),
+        S=S,
+        T=jnp.where(alive[:, None, None, None], T, st.T),
+        sampler=sampler,
+    )
+
+
+def sample_stokes(scene: Scene, sampler: Sampler, ray: Ray):
+    n = ray.o.shape[0]
+    st = PolState(
+        active=jnp.ones((n,), bool),
+        depth=jnp.zeros((n,), jnp.int32),
+        ray_o=ray.o, ray_d=ray.d,
+        S=jnp.zeros((n, 3, 4)),
+        T=jnp.broadcast_to(jnp.eye(4), (n, 3, 4, 4)),
+        sampler=sampler,
+    )
+    st = jax.lax.while_loop(
+        lambda s: jnp.any(s.active) & jnp.all(s.depth < scene.max_depth),
+        lambda s: bounce(scene, s), st)
+    return st.S, st.sampler
+
+
+def render_stokes(scene: Scene, spp: int = 16, seed: int = 0):
+    """Render the full Stokes vector: (h, w, 4, 3) float array
+    (stokes.cpp AOV output S0..S3 per RGB channel)."""
+    import numpy as np
+
+    @jax.jit
+    def run(scene, seed):
+        w, h = scene.film_w, scene.film_h
+        lanes = jnp.arange(w * h * spp, dtype=jnp.uint32)
+        pix = lanes // spp
+        samp = lanes % spp
+        sampler = make_sampler(pix, samp, seed, kind=scene.sampler_kind,
+                               spp=spp)
+        px = (pix % w).astype(jnp.float32)
+        py = (pix // w).astype(jnp.float32)
+        uf, sampler = sampler.next_2d()
+        pos = jnp.stack([px, py], -1) + uf
+        ray = sample_ray(scene, pos)
+        S, _ = sample_stokes(scene, sampler, ray)
+        S = jnp.where(jnp.isfinite(S), S, 0.0)
+        img = S.reshape(h, w, spp, 3, 4).mean(2)       # (h, w, 3, 4)
+        return img.transpose(0, 1, 3, 2)               # (h, w, 4, 3)
+
+    return np.asarray(run(scene, jnp.uint32(seed)))

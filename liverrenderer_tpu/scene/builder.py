@@ -343,7 +343,7 @@ class _Builder:
                 p[7] = float(d.get("alpha_v", alpha))
                 idx = self._push_bsdf(BSDF_ROUGHCONDUCTOR, p, tex0=tex0,
                                       flags=F_GLOSSY_REFL, twosided=twosided)
-        elif t in ("plastic", "roughplastic"):
+        elif t in ("plastic", "roughplastic", "pplastic"):
             int_ior = _ior(d.get("int_ior"), 1.49)
             ext_ior = _ior(d.get("ext_ior"), 1.000277)
             eta = int_ior / ext_ior
@@ -372,6 +372,27 @@ class _Builder:
             idx = self._push_bsdf(BSDF_PRINCIPLED, p, tex0=tex0,
                                   flags=F_GLOSSY_REFL | F_DIFFUSE_REFL,
                                   twosided=twosided)
+        elif t in ("polarizer", "retarder", "circular"):
+            # src/bsdfs/{polarizer,retarder,circular}.cpp: transmissive
+            # Mueller elements; theta = axis angle, delta = retarder phase
+            from .ir import BSDF_CIRCULAR, BSDF_POLARIZER, BSDF_RETARDER
+            p[0] = float(np.deg2rad(float(d.get("theta", 0.0))
+                                    if not isinstance(d.get("theta"), dict)
+                                    else 0.0))
+            p[1] = float(np.deg2rad(float(d.get("delta", 90.0))
+                                    if not isinstance(d.get("delta"), dict)
+                                    else 90.0))
+            p[2] = 1.0 if str(d.get("polarization_mode",
+                                    d.get("handedness", "right"))
+                              ).lower().startswith("l") else 0.0
+            tex0 = self.build_texture(
+                d.get("transmittance", d.get("theta_transmittance", 1.0)),
+                1.0)
+            code = {"polarizer": BSDF_POLARIZER, "retarder": BSDF_RETARDER,
+                    "circular": BSDF_CIRCULAR}[t]
+            idx = self._push_bsdf(code, p, tex0=tex0,
+                                  flags=F_NULL | F_DELTA_TRANS,
+                                  twosided=True)
         elif t == "hair":
             # src/bsdfs/hair.cpp: Chiang fiber model; melanin concentrations
             # -> rgb absorption when sigma_a is not given
@@ -1316,10 +1337,12 @@ _EMITTER_TYPES = ("point", "constant", "envmap", "directional", "spot",
                   "directionalarea", "projector", "sunsky", "sun", "sky",
                   "timed_sunsky")
 _BSDF_TYPES = ("diffuse", "dielectric", "thindielectric", "conductor",
-               "roughconductor", "plastic", "roughplastic", "principled",
+               "roughconductor", "plastic", "roughplastic", "pplastic",
+               "principled",
                "principledthin", "null", "mask",
                "blendbsdf", "twosided", "bumpmap", "normalmap",
-               "roughdielectric")
+               "roughdielectric", "hair", "polarizer", "retarder",
+               "circular", "measured")
 _MEDIUM_TYPES = ("homogeneous", "heterogeneous", "glissonCapsule", "glisson",
                  "parenchyma", "liver")
 _TEXTURE_TYPES = ("bitmap", "checkerboard", "mesh_attribute")
@@ -1410,7 +1433,7 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
         t = val.get("type")
         if t in ("path", "volpath", "volpathmis", "biovolpath",
                  "biovolpath06", "direct", "prb", "prbvolpath", "prb_basic",
-                 "aov", "depth", "moment", "ptracer"):
+                 "aov", "depth", "moment", "ptracer", "stokes"):
             b.integrator = t
             b.max_depth = int(val.get("max_depth", 8))
             if b.max_depth < 0:

@@ -41,6 +41,9 @@ BSDF_BLEND = 9
 BSDF_MASK = 10
 BSDF_PRINCIPLED = 11
 BSDF_HAIR = 12
+BSDF_POLARIZER = 13
+BSDF_RETARDER = 14
+BSDF_CIRCULAR = 15
 
 EMITTER_AREA = 0
 EMITTER_POINT = 1

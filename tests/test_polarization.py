@@ -1,0 +1,130 @@
+"""Polarized transport: Mueller calculus + stokes integrator + polarizer/
+retarder/circular elements (reference src/integrators/stokes.cpp,
+src/bsdfs/{polarizer,retarder,circular}.cpp, mueller.h)."""
+import numpy as np
+import pytest
+
+import liverrenderer_tpu as lr
+
+
+def _stack_scene(elements, radiance=1.0, max_depth=8):
+    """Camera at z=+3 looking down -z through transmissive elements
+    (rectangles at decreasing z), then out to a constant env."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "stokes", "max_depth": max_depth},
+        "sensor": {
+            "type": "perspective", "fov": 10.0,
+            "to_world": lr.Transform().look_at([0, 0, 3], [0, 0, 0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 4, "height": 4,
+                     "rfilter": {"type": "box"}},
+        },
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [radiance] * 3}},
+    }
+    for i, el in enumerate(elements):
+        d[f"el{i}"] = {
+            "type": "rectangle",
+            "to_world": lr.Transform().translate([0, 0, 2.0 - 0.5 * i]),
+            "bsdf": el,
+        }
+    return lr.load_dict(d)
+
+
+def _center_stokes(scene, spp=16):
+    img = lr.render_stokes(scene, spp=spp, seed=0)   # (h, w, 4, 3)
+    return img[1:3, 1:3].mean((0, 1, 3))             # (4,) averaged rgb
+
+
+def test_single_polarizer_halves_unpolarized():
+    s = _center_stokes(_stack_scene([{"type": "polarizer"}]))
+    assert abs(s[0] - 0.5) < 1e-3, s
+    # fully linearly polarized output: DOP = 1
+    dop = np.sqrt(s[1] ** 2 + s[2] ** 2 + s[3] ** 2) / s[0]
+    assert abs(dop - 1.0) < 1e-3, s
+
+
+@pytest.mark.parametrize("theta2", [0.0, 30.0, 45.0, 60.0, 90.0])
+def test_malus_law(theta2):
+    """Two linear polarizers: S0 = 0.5 cos^2(dtheta) (Malus)."""
+    s = _center_stokes(_stack_scene([
+        {"type": "polarizer", "theta": theta2},   # nearer the camera
+        {"type": "polarizer", "theta": 0.0},
+    ]))
+    expect = 0.5 * np.cos(np.deg2rad(theta2)) ** 2
+    assert abs(s[0] - expect) < 2e-3, (theta2, s[0], expect)
+
+
+def test_crossed_polarizers_with_wave_plates():
+    """Classic optics ladder: crossed polarizers block; a middle polarizer
+    at 45deg re-opens 1/8; a quarter-wave plate at 45deg opens 1/4
+    (circular); a half-wave plate at 45deg opens fully (1/2)."""
+    blocked = _center_stokes(_stack_scene([
+        {"type": "polarizer", "theta": 90.0},
+        {"type": "polarizer", "theta": 0.0},
+    ]))
+    assert blocked[0] < 1e-4, blocked
+    mid = _center_stokes(_stack_scene([
+        {"type": "polarizer", "theta": 90.0},
+        {"type": "polarizer", "theta": 45.0},
+        {"type": "polarizer", "theta": 0.0},
+    ]))
+    assert abs(mid[0] - 0.125) < 2e-3, mid
+    qwp = _center_stokes(_stack_scene([
+        {"type": "polarizer", "theta": 90.0},
+        {"type": "retarder", "theta": 45.0, "delta": 90.0},
+        {"type": "polarizer", "theta": 0.0},
+    ]))
+    assert abs(qwp[0] - 0.25) < 2e-3, qwp
+    hwp = _center_stokes(_stack_scene([
+        {"type": "polarizer", "theta": 90.0},
+        {"type": "retarder", "theta": 45.0, "delta": 180.0},
+        {"type": "polarizer", "theta": 0.0},
+    ]))
+    assert abs(hwp[0] - 0.5) < 2e-3, hwp
+
+
+def test_circular_polarizer_s3():
+    """Circular polarizer produces pure S3 of magnitude S0."""
+    s = _center_stokes(_stack_scene([{"type": "circular"}]))
+    assert abs(s[0] - 0.5) < 1e-3, s
+    assert abs(abs(s[3]) - s[0]) < 1e-3, s
+    assert abs(s[1]) < 1e-3 and abs(s[2]) < 1e-3, s
+
+
+def test_fresnel_reflection_partially_polarizes():
+    """Oblique specular reflection off a conductor: DOP in (0, 1), and the
+    S0 image matches the scalar render (normalized Mueller design)."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "stokes", "max_depth": 3},
+        "sensor": {
+            "type": "perspective", "fov": 30.0,
+            # look at the mirror floor at ~55deg incidence
+            "to_world": lr.Transform().look_at([0, 2.0, 2.8], [0, 0, 0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                     "rfilter": {"type": "box"}},
+        },
+        "floor": {"type": "rectangle",
+                  "to_world": lr.Transform().rotate([1, 0, 0], -90)
+                  .scale(4.0),
+                  "bsdf": {"type": "conductor", "material": "au"}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [1.0] * 3}},
+    }
+    # note: rectangle normal +z; rotate so it faces +y (floor)
+    d["floor"]["to_world"] = lr.Transform().rotate([1, 0, 0], -90) \
+        .scale(4.0)
+    scene = lr.load_dict(d)
+    img = lr.render_stokes(scene, spp=32, seed=0)
+    s = img[5, 4].mean(-1)          # a floor-reflection pixel, rgb-avg
+    dop = np.sqrt(s[1] ** 2 + s[2] ** 2 + s[3] ** 2) / max(s[0], 1e-9)
+    assert 0.05 < dop < 1.0, (s, dop)
+
+    d2 = dict(d)
+    d2["integrator"] = {"type": "path", "max_depth": 3}
+    scalar = np.asarray(lr.render(lr.load_dict(d2), spp=32, seed=0))
+    s0 = img[..., 0, :]
+    assert np.abs(s0 - scalar).max() < 5e-2, np.abs(s0 - scalar).max()
