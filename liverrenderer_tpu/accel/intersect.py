@@ -234,8 +234,10 @@ def _spheres(scene: Scene, ray: Ray, t_best):
 
 def _pallas_tris(scene: Scene, ray: Ray, t_best, any_hit: bool):
     from .pallas_intersect import intersect_tris
-    t, prim, uu, vv = intersect_tris(scene.tri_buf, ray.o, ray.d, ray.maxt,
-                                     t_best)
+    t, prim, uu, vv = intersect_tris(scene.tri_buf, scene.tri_boxes,
+                                     scene.tri_kperm, ray.o, ray.d,
+                                     ray.maxt, t_best,
+                                     sort=scene.ray_sort and not any_hit)
     better = t < t_best
     return jnp.where(better, t, t_best), \
         jnp.where(better, prim, -1), \

@@ -39,7 +39,7 @@ MAX_VMEM_TRIS = 65536  # 64k tris x 12 x 4B = 3 MB triangle buffer
 _INF = float("inf")
 
 
-def _intersect_kernel(rays_ref, tris_ref, out_ref):
+def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
     n_chunks = tris_ref.shape[0] // TILE_T
 
     ox = rays_ref[0:1, :]
@@ -49,8 +49,36 @@ def _intersect_kernel(rays_ref, tris_ref, out_ref):
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
     maxt = rays_ref[6:7, :]
+    # slab-test reciprocals (inf at zero components is fine: the products
+    # below become +-inf and the min/max ordering still holds)
+    eps = 1e-20
+    idx_ = 1.0 / jnp.where(jnp.abs(dx) > eps, dx, eps)
+    idy_ = 1.0 / jnp.where(jnp.abs(dy) > eps, dy, eps)
+    idz_ = 1.0 / jnp.where(jnp.abs(dz) > eps, dz, eps)
 
     def chunk_body(c, carry):
+        # cluster culling: triangles arrive in BVH-leaf order (pack_tris),
+        # so a whole chunk is skipped when no ray in the tile enters its
+        # AABB closer than the current best hit
+        best_t, best_prim, best_u, best_v = carry
+        t0x = (boxes_ref[c, 0] - ox) * idx_
+        t1x = (boxes_ref[c, 3] - ox) * idx_
+        t0y = (boxes_ref[c, 1] - oy) * idy_
+        t1y = (boxes_ref[c, 4] - oy) * idy_
+        t0z = (boxes_ref[c, 2] - oz) * idz_
+        t1z = (boxes_ref[c, 5] - oz) * idz_
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.maximum(t0z, t1z))
+        lim = jnp.minimum(best_t, maxt)
+        any_enter = jnp.any((near <= far) & (far > 0.0) & (near < lim))
+        return jax.lax.cond(any_enter, lambda cr: _mt_chunk(c, cr),
+                            lambda cr: cr, carry)
+
+    def _mt_chunk(c, carry):
         best_t, best_prim, best_u, best_v = carry
         base = c * TILE_T
         p0x = tris_ref[pl.ds(base, TILE_T), 0:1]
@@ -116,7 +144,7 @@ def _intersect_kernel(rays_ref, tris_ref, out_ref):
 
 
 @partial(jax.jit, static_argnames=("n_tiles",))
-def _call_kernel(rays, tris, n_tiles):
+def _call_kernel(rays, tris, boxes, n_tiles):
     return pl.pallas_call(
         _intersect_kernel,
         grid=(n_tiles,),
@@ -124,60 +152,128 @@ def _call_kernel(rays, tris, n_tiles):
             pl.BlockSpec((8, TILE_R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full tri buffer
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # chunk AABBs
         ],
         out_specs=pl.BlockSpec((8, TILE_R), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(rays.shape, jnp.float32),
-    )(rays, tris)
+    )(rays, tris, boxes)
 
 
 @jax.custom_vjp
-def _intersect_nograd(rays, tris):
+def _intersect_nograd(rays, tris, boxes):
     n_tiles = rays.shape[1] // TILE_R
-    return _call_kernel(rays, tris, n_tiles)
+    return _call_kernel(rays, tris, boxes, n_tiles)
 
 
-def _intersect_fwd(rays, tris):
-    return _intersect_nograd(rays, tris), None
+def _intersect_fwd(rays, tris, boxes):
+    return _intersect_nograd(rays, tris, boxes), None
 
 
 def _intersect_bwd(_, g):
     # Sampled intersection geometry is detached (PRB detached sampling);
     # parameter gradients flow through BSDF/emitter/medium evals instead.
-    return None, None
+    return None, None, None
 
 
 _intersect_nograd.defvjp(_intersect_fwd, _intersect_bwd)
 
 
-def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
-    """Host-side packing of the (Tpad, 12) VMEM triangle buffer."""
+def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+              perm: np.ndarray | None = None):
+    """Host-side packing of the (Tpad, 12) VMEM triangle buffer.
+
+    When `perm` (BVH leaf order, accel/bvh.py) is given, triangles are
+    packed in that spatially-local order and per-TILE_T chunk AABBs are
+    computed so the kernel can skip whole chunks per ray tile.  Returns
+    (tri_buf, boxes (n_chunks, 8), kernel_perm (Tpad,) mapping kernel row
+    -> original triangle id)."""
     T = len(v0)
     tpad = max(((T + TILE_T - 1) // TILE_T) * TILE_T, TILE_T)
+    if perm is None:
+        perm = np.arange(T, dtype=np.int64)
+    v0o, v1o, v2o = v0[perm], v1[perm], v2[perm]
     buf = np.zeros((tpad, 12), np.float32)
-    buf[:T, 0:3] = v0
-    buf[:T, 3:6] = v1 - v0
-    buf[:T, 6:9] = v2 - v0
-    return buf
+    buf[:T, 0:3] = v0o
+    buf[:T, 3:6] = v1o - v0o
+    buf[:T, 6:9] = v2o - v0o
+
+    n_chunks = tpad // TILE_T
+    boxes = np.zeros((n_chunks, 8), np.float32)
+    boxes[:, 0:3] = np.inf          # empty chunks never pass the slab test
+    boxes[:, 3:6] = -np.inf
+    for c in range(n_chunks):
+        lo, hi = c * TILE_T, min((c + 1) * TILE_T, T)
+        if lo >= T:
+            continue
+        pts = np.concatenate([v0o[lo:hi], v1o[lo:hi], v2o[lo:hi]])
+        boxes[c, 0:3] = pts.min(0)
+        boxes[c, 3:6] = pts.max(0)
+    kperm = np.full(tpad, -1, np.int32)
+    kperm[:T] = perm
+    return buf, boxes, kperm
 
 
-def intersect_tris(tri_buf: jax.Array, o: jax.Array, d: jax.Array,
-                   maxt: jax.Array, t_best: jax.Array):
-    """Closest-hit over the packed triangle buffer.
+def intersect_tris(tri_buf: jax.Array, boxes: jax.Array, kperm: jax.Array,
+                   o: jax.Array, d: jax.Array,
+                   maxt: jax.Array, t_best: jax.Array, sort: bool = False):
+    """Closest-hit over the packed (BVH-leaf-ordered) triangle buffer.
 
-    Returns (t, prim, u, v) with prim == -1 for misses; hits farther than
-    `t_best` are rejected (for combining with other geometry)."""
+    Returns (t, prim, u, v) with prim == -1 for misses (prim in ORIGINAL
+    triangle ids via kperm); hits farther than `t_best` are rejected.
+
+    sort=True re-orders the wavefront by a direction-octant + origin
+    morton key before the kernel so ray tiles are spatially coherent and
+    the chunk-AABB culling bites on bounced rays too (the analog of the
+    reference's GPU thread reordering, path.cpp:338-344)."""
     n = o.shape[0]
-    npad = max(((n + TILE_R - 1) // TILE_R) * TILE_R, TILE_R)
     lim = jnp.minimum(jnp.where(jnp.isfinite(maxt), maxt, _INF), t_best)
+
+    if sort:
+        order = _coherence_order(o, d)
+        o = o[order]
+        d = d[order]
+        lim = lim[order]
+
+    npad = max(((n + TILE_R - 1) // TILE_R) * TILE_R, TILE_R)
     mat = jnp.concatenate([o.T, d.T, lim[None], jnp.zeros((1, n))], 0)
     rays = jnp.pad(mat, ((0, 0), (0, npad - n)))
 
-    out = _intersect_nograd(rays, tri_buf)
+    out = _intersect_nograd(rays, tri_buf, boxes)
     t = out[0, :n]
     prim = out[1, :n].astype(jnp.int32)
     u = out[2, :n]
     v = out[3, :n]
+
+    if sort:
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(n, dtype=order.dtype))
+        t, prim, u, v = t[inv], prim[inv], u[inv], v[inv]
+
     miss = prim < 0
+    prim = jnp.where(miss, -1, kperm[jnp.maximum(prim, 0)])
     return jnp.where(miss, _INF, t), prim, \
         jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v)
+
+
+def _coherence_order(o, d):
+    """Sort key: 3-bit direction octant + 15-bit origin morton (32^3 cells
+    over the wavefront's bounding box)."""
+    lo = jax.lax.stop_gradient(jnp.min(o, 0))
+    hi = jax.lax.stop_gradient(jnp.max(o, 0))
+    q = jnp.clip(((o - lo) / jnp.maximum(hi - lo, 1e-9) * 32.0)
+                 .astype(jnp.int32), 0, 31)
+
+    def spread(x):  # 5 bits -> every 3rd bit
+        x = (x | (x << 8)) & 0x100F
+        x = (x | (x << 4)) & 0x10C3
+        x = (x | (x << 2)) & 0x1249
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) \
+        | (spread(q[:, 2]) << 2)
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+    key = (octant << 15) | morton
+    return jnp.argsort(key)

@@ -30,8 +30,8 @@ from ..core import warp
 from ..core.types import BSDFSample
 from ..scene.ir import (BSDF_BLEND, BSDF_CIRCULAR, BSDF_CONDUCTOR,
                         BSDF_DIELECTRIC,
-                        BSDF_HAIR, BSDF_POLARIZER, BSDF_PRINCIPLED,
-                        BSDF_RETARDER,
+                        BSDF_HAIR, BSDF_MEASURED, BSDF_POLARIZER,
+                        BSDF_PRINCIPLED, BSDF_RETARDER,
                         BSDF_DIFFUSE, BSDF_MASK, BSDF_NULL, BSDF_PLASTIC,
                         BSDF_ROUGHCONDUCTOR, BSDF_ROUGHDIELECTRIC,
                         BSDF_THINDIELECTRIC, F_DELTA, F_DELTA_REFL,
@@ -427,6 +427,15 @@ def bsdf_sample(scene: Scene, si, bsdf_idx, u1, u2) -> BSDFSample:
         eta = jnp.where(sel, feta, eta)
         st = jnp.where(sel, fst, st)
 
+    if BSDF_MEASURED in scene.bsdfs.types_present:
+        from .measured import measured_sample
+        mwo, mpdf, mw = measured_sample(scene.measured, wi_f, u1, u2)
+        sel = btype == BSDF_MEASURED
+        wo = jnp.where(sel[..., None], mwo, wo)
+        pdf = jnp.where(sel, mpdf, pdf)
+        weight = jnp.where(sel[..., None], mw * t0, weight)
+        st = jnp.where(sel, jnp.uint32(F_GLOSSY_REFL), st)
+
     wo = jnp.where(flip[..., None], _flip_z(wo), wo)
     return BSDFSample(wo=wo, pdf=pdf, eta=eta, sampled_type=st, weight=weight)
 
@@ -450,6 +459,12 @@ def bsdf_eval_pdf(scene: Scene, si, bsdf_idx, wo) -> Tuple:
         sel = btype == ftype
         val = jnp.where(sel[..., None], fv, val)
         pdf = jnp.where(sel, fp, pdf)
+    if BSDF_MEASURED in scene.bsdfs.types_present:
+        from .measured import measured_eval_pdf
+        mv, mp = measured_eval_pdf(scene.measured, wi_f, wo_f)
+        sel = btype == BSDF_MEASURED
+        val = jnp.where(sel[..., None], mv * t0, val)
+        pdf = jnp.where(sel, mp, pdf)
     return val, pdf
 
 

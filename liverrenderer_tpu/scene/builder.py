@@ -372,6 +372,18 @@ class _Builder:
             idx = self._push_bsdf(BSDF_PRINCIPLED, p, tex0=tex0,
                                   flags=F_GLOSSY_REFL | F_DIFFUSE_REFL,
                                   twosided=twosided)
+        elif t == "measured":
+            # src/bsdfs/measured.cpp: RGL data-driven material
+            from .ir import BSDF_MEASURED
+            from ..bsdf.measured import MeasuredData
+            path = d["filename"] if os.path.isabs(d["filename"]) \
+                else os.path.join(self.base_dir, d["filename"])
+            if not hasattr(self, "measured_list"):
+                self.measured_list = []
+            self.measured_list.append(MeasuredData(path))
+            idx = self._push_bsdf(BSDF_MEASURED, p,
+                                  tex0=self.add_const_texture([1.0] * 3),
+                                  flags=F_GLOSSY_REFL, twosided=twosided)
         elif t in ("polarizer", "retarder", "circular"):
             # src/bsdfs/{polarizer,retarder,circular}.cpp: transmissive
             # Mueller elements; theta = axis angle, delta = retarder phase
@@ -988,10 +1000,20 @@ class _Builder:
             build_bvh(np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3)))
 
         from ..accel.pallas_intersect import pack_tris
-        tri_buf = pack_tris(v0, v1, v2) if n_tris_real else \
-            pack_tris(np.zeros((0, 3), np.float32),
-                      np.zeros((0, 3), np.float32),
-                      np.zeros((0, 3), np.float32))
+        if n_tris_real:
+            tri_buf, tri_boxes, tri_kperm = pack_tris(v0, v1, v2,
+                                                      bvh_np.perm)
+        else:
+            tri_buf, tri_boxes, tri_kperm = pack_tris(
+                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.float32))
+
+        if getattr(self, "measured_list", None):
+            from ..bsdf.measured import as_device_table
+            measured_tbl = as_device_table(self.measured_list)
+        else:
+            from .ir import MeasuredTable
+            measured_tbl = MeasuredTable()
 
         # emitter selection distribution (uniform, as reference default)
         n_e = len(self.e_type)
@@ -1236,6 +1258,10 @@ class _Builder:
             tri_area_cdf=jnp.asarray(ta_cdf),
             tri_area=jnp.asarray(ta, jnp.float32),
             tri_buf=jnp.asarray(tri_buf),
+            tri_boxes=jnp.asarray(tri_boxes),
+            tri_kperm=jnp.asarray(tri_kperm),
+            ray_sort=n_tris_real > 2048,
+            measured=measured_tbl,
             bsdfs=bsdfs, emitters=emitters, textures=textures, media=media,
             bvh=bvh, sensor=sensor, ssub=ssub_table,
             n_shapes=n_s, n_tris=n_tris_real,

@@ -44,6 +44,7 @@ BSDF_HAIR = 12
 BSDF_POLARIZER = 13
 BSDF_RETARDER = 14
 BSDF_CIRCULAR = 15
+BSDF_MEASURED = 16
 
 EMITTER_AREA = 0
 EMITTER_POINT = 1
@@ -207,6 +208,34 @@ class Media:
 
 
 @struct.dataclass
+class MeasuredTable:
+    """RGL measured-material tables (bsdf/measured.py; reference
+    src/bsdfs/measured.cpp).  One material per scene round 1."""
+    theta_i: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1,), jnp.float32))
+    vndf_row: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    vndf_cond: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 2, 3), jnp.float32))
+    vndf_pdf: Array = struct.field(
+        default_factory=lambda: jnp.ones((1, 2, 2), jnp.float32))
+    lum_row: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    lum_cond: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 2, 3), jnp.float32))
+    lum_pdf: Array = struct.field(
+        default_factory=lambda: jnp.ones((1, 2, 2), jnp.float32))
+    spectra: Array = struct.field(
+        default_factory=lambda: jnp.ones((1, 3, 2, 2), jnp.float32))
+    ndf: Array = struct.field(
+        default_factory=lambda: jnp.ones((2, 2), jnp.float32))
+    sigma: Array = struct.field(
+        default_factory=lambda: jnp.ones((2, 2), jnp.float32))
+    jacobian: bool = static_field(default=False)
+    enabled: bool = static_field(default=False)
+
+
+@struct.dataclass
 class BVH:
     """Flattened 2-wide BVH in depth-first order over the *global* triangle
     stream (TPU-side analog of reference kdtree.h / scene_embree.inl).
@@ -314,7 +343,10 @@ class Scene:
     tri_area_cdf: Array       # (T,)
     tri_area: Array           # (T,)
     # packed (Tpad, 12) p0/e1/e2 buffer for the Pallas intersect kernel
+    # (BVH-leaf order) + per-chunk AABBs + kernel-row -> original-id map
     tri_buf: Array
+    tri_boxes: Array
+    tri_kperm: Array
     # ------------- tables -------------
     bsdfs: BSDFs
     emitters: Emitters
@@ -327,6 +359,7 @@ class Scene:
     # hair shading frames take s = tangent (scene/curves.py)
     tangents: Array = struct.field(
         default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    measured: MeasuredTable = struct.field(default_factory=MeasuredTable)
     # SDF grid shapes (reference src/shapes/sdfgrid.cpp): signed-distance
     # values on a [0,1]^3-local grid, sphere-traced in the intersector
     sdf_grids: Array = struct.field(          # (K, D, H, W) padded
@@ -356,6 +389,9 @@ class Scene:
     has_bump: bool = static_field(default=False)
     # curve tubes present: shading frames align s with the fiber tangent
     has_tangents: bool = static_field(default=False)
+    # sort the wavefront by origin-morton/direction-octant before the
+    # Pallas intersect (coherent tiles -> chunk culling bites on bounces)
+    ray_sort: bool = static_field(default=False)
     # Static NEE reachability, computed at build: surface NEE needs a
     # shape-referenced smooth BSDF; medium NEE needs a non-bio medium under
     # a volpath-family integrator.  When both are false the whole
