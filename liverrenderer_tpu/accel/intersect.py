@@ -398,36 +398,33 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     hit = hit_tri | hit_sph
 
     prim_s = jnp.maximum(prim, 0)
-    f = scene.faces[prim_s]
-    p0 = scene.vertices[f[:, 0]]
-    p1 = scene.vertices[f[:, 1]]
-    p2 = scene.vertices[f[:, 2]]
+    # single packed gather per lane (see Scene.tri_si)
+    row = scene.tri_si[prim_s]
+    p0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
     w = 1.0 - u - v
-    p_tri = p0 * w[:, None] + p1 * u[:, None] + p2 * v[:, None]
-    ng_tri = m.normalize(jnp.cross(p1 - p0, p2 - p0))
-    n0 = scene.normals[f[:, 0]]
-    n1 = scene.normals[f[:, 1]]
-    n2 = scene.normals[f[:, 2]]
-    ns_tri = n0 * w[:, None] + n1 * u[:, None] + n2 * v[:, None]
+    p_tri = p0 + e1 * u[:, None] + e2 * v[:, None]
+    ng_tri = m.normalize(jnp.cross(e1, e2))
+    ns_tri = row[:, 9:12] * w[:, None] + row[:, 12:15] * u[:, None] \
+        + row[:, 15:18] * v[:, None]
     ns_len = m.norm(ns_tri)
     ns_tri = jnp.where((ns_len > 1e-6)[:, None], ns_tri / jnp.maximum(ns_len, 1e-6)[:, None], ng_tri)
-    uv0 = scene.uvs[f[:, 0]]
-    uv1 = scene.uvs[f[:, 1]]
-    uv2 = scene.uvs[f[:, 2]]
-    uv_tri = uv0 * w[:, None] + uv1 * u[:, None] + uv2 * v[:, None]
-    shape_tri = scene.tri_shape[prim_s]
+    uv_tri = row[:, 18:20] * w[:, None] + row[:, 20:22] * u[:, None] \
+        + row[:, 22:24] * v[:, None]
+    shape_tri = row[:, 24].astype(jnp.int32)
 
     # spheres
     sph_s = jnp.maximum(sph, 0)
-    c = scene.sph_center[sph_s]
-    r = scene.sph_radius[sph_s]
+    c = m.table_lookup(scene.sph_center, sph_s)
+    r = m.table_lookup(scene.sph_radius, sph_s)
     p_sph_raw = ray.at(t)
     ns_sph = m.normalize(p_sph_raw - c)
     p_sph = c + ns_sph * r[:, None]   # re-project for robustness
     theta = m.safe_acos(ns_sph[..., 2])
     phi = jnp.arctan2(ns_sph[..., 1], ns_sph[..., 0])
     uv_sph = jnp.stack([(phi + jnp.pi) / (2 * jnp.pi), theta / jnp.pi], -1)
-    shape_sph = scene.sph_shape[sph_s]
+    shape_sph = m.table_lookup(scene.sph_shape, sph_s)
 
     p = jnp.where(hit_sph[:, None], p_sph, p_tri)
     ng = jnp.where(hit_sph[:, None], ns_sph, ng_tri)
@@ -464,6 +461,7 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     if scene.has_tangents:
         # curve tubes: align the frame's s-axis with the interpolated fiber
         # tangent so the hair BSDF's +x convention holds (scene/curves.py)
+        f = scene.faces[prim_s]
         tg = scene.tangents[f[:, 0]] * w[:, None] \
             + scene.tangents[f[:, 1]] * u[:, None] \
             + scene.tangents[f[:, 2]] * v[:, None]

@@ -43,17 +43,18 @@ _U32 = jnp.uint32
 
 
 def bsdf_flags(scene: Scene, bsdf_idx):
-    return scene.bsdfs.flags[jnp.maximum(bsdf_idx, 0)]
+    return m.table_lookup(scene.bsdfs.flags, jnp.maximum(bsdf_idx, 0))
 
 
 def _ctx(scene: Scene, si, bsdf_idx):
     """Gather per-lane bsdf rows + texture values."""
     idx = jnp.maximum(bsdf_idx, 0)
     b = scene.bsdfs
-    p = b.params[idx]
-    t0 = eval_texture(scene.textures, b.tex0[idx], si.uv)
-    t1 = eval_texture(scene.textures, b.tex1[idx], si.uv)
-    return idx, b.btype[idx], p, t0, t1, b.twosided[idx]
+    p = m.table_lookup(b.params, idx)
+    t0 = eval_texture(scene.textures, m.table_lookup(b.tex0, idx), si.uv)
+    t1 = eval_texture(scene.textures, m.table_lookup(b.tex1, idx), si.uv)
+    return idx, m.table_lookup(b.btype, idx), p, t0, t1, \
+        m.table_lookup(b.twosided, idx)
 
 
 def _flip_z(v):
@@ -472,7 +473,7 @@ def eval_null_transmission(scene: Scene, si, bsdf_idx):
     """Transmission along a straight shadow ray (reference
     bsdf.cpp eval_null_transmission): 1 for null/mask pass-through, 0 else."""
     idx = jnp.maximum(bsdf_idx, 0)
-    btype = scene.bsdfs.btype[idx]
+    btype = m.table_lookup(scene.bsdfs.btype, idx)
     out = jnp.zeros(si.uv.shape[:-1] + (3,))
     if BSDF_NULL in scene.bsdfs.types_present:
         out = jnp.where((btype == BSDF_NULL)[..., None], 1.0, out)

@@ -118,3 +118,24 @@ def lerp(a, b, t):
 def luminance(c):
     return (0.212671 * c[..., 0] + 0.715160 * c[..., 1]
             + 0.072169 * c[..., 2])
+
+
+def table_lookup(table, idx):
+    """Per-lane row lookup from a parameter table.
+
+    TPU dynamic gathers lower to multi-ms custom kernels at wavefront
+    sizes, so tiny static tables (the common case for plugin parameter
+    rows) become branchless select chains that fuse into the surrounding
+    kernel; large tables stay real gathers.
+    """
+    R = table.shape[0]
+    out_shape = idx.shape + table.shape[1:]
+    if R == 1:
+        return jnp.broadcast_to(table[0], out_shape)
+    if R <= 8:
+        exp = idx.reshape(idx.shape + (1,) * (table.ndim - 1))
+        out = jnp.broadcast_to(table[0], out_shape)
+        for r in range(1, R):
+            out = jnp.where(exp == r, table[r], out)
+        return out
+    return table[idx]

@@ -24,10 +24,10 @@ WORLD_RADIUS = 1e4  # distance placed on env/directional samples
 def _sample_shape_position(scene: Scene, shape_idx, u2, u_reuse):
     """Uniform-area sample on an area emitter's shape (mesh triangles or an
     analytic sphere).  Returns (p, n, pdf_area)."""
-    stype = scene.shape_type[shape_idx]
-    off = scene.shape_prim_offset[shape_idx]
-    cnt = scene.shape_prim_count[shape_idx]
-    area = scene.shape_area[shape_idx]
+    stype = m.table_lookup(scene.shape_type, shape_idx)
+    off = m.table_lookup(scene.shape_prim_offset, shape_idx)
+    cnt = m.table_lookup(scene.shape_prim_count, shape_idx)
+    area = m.table_lookup(scene.shape_area, shape_idx)
 
     # --- mesh: pick a triangle via the global area cdf segment ---
     base = jnp.where(off > 0, scene.tri_area_cdf[jnp.maximum(off - 1, 0)], 0.0)
@@ -45,8 +45,10 @@ def _sample_shape_position(scene: Scene, shape_idx, u2, u_reuse):
 
     # --- sphere: uniform area ---
     sp = jnp.clip(off, 0, jnp.maximum(scene.n_spheres - 1, 0))
-    c = scene.sph_center[sp] if scene.n_spheres > 0 else jnp.zeros_like(p_mesh)
-    r = scene.sph_radius[sp] if scene.n_spheres > 0 else jnp.ones(p_mesh.shape[:-1])
+    c = m.table_lookup(scene.sph_center, sp) if scene.n_spheres > 0 \
+        else jnp.zeros_like(p_mesh)
+    r = m.table_lookup(scene.sph_radius, sp) if scene.n_spheres > 0 \
+        else jnp.ones(p_mesh.shape[:-1])
     d_sph = warp.square_to_uniform_sphere(u2)
     p_sph = c + d_sph * r[..., None]
 
@@ -73,8 +75,8 @@ def sample_emitter_direction(scene: Scene, ref_p, u2, u1) -> tuple:
         return ds, jnp.zeros((n, 3))
 
     eidx, u_sel, sel_pdf = em.distr.sample_reuse(u1)
-    etype = em.etype[eidx]
-    prm = em.params[eidx]
+    etype = m.table_lookup(em.etype, eidx)
+    prm = m.table_lookup(em.params, eidx)
     n_l = ref_p.shape[0]
 
     p = jnp.zeros((n_l, 3))
@@ -87,7 +89,8 @@ def sample_emitter_direction(scene: Scene, ref_p, u2, u1) -> tuple:
 
     tp = em.types_present
     if EMITTER_AREA in tp:
-        sp, sn, pdf_area = _sample_shape_position(scene, em.shape[eidx], u2, u_sel)
+        sp, sn, pdf_area = _sample_shape_position(
+            scene, m.table_lookup(em.shape, eidx), u2, u_sel)
         dvec = sp - ref_p
         dist2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12)
         dist_a = jnp.sqrt(dist2)
@@ -96,7 +99,8 @@ def sample_emitter_direction(scene: Scene, ref_p, u2, u1) -> tuple:
         # area pdf -> solid angle
         pdf_a = pdf_area * dist2 / jnp.maximum(cos_e, 1e-20)
         pdf_a = jnp.where(cos_e > 0, pdf_a, 0.0)
-        rad = eval_texture(scene.textures, em.tex0[eidx], jnp.zeros((n_l, 2)))
+        rad = eval_texture(scene.textures, m.table_lookup(em.tex0, eidx),
+                           jnp.zeros((n_l, 2)))
         rad = rad * prm[..., 0:3]
         sel = etype == EMITTER_AREA
         p = jnp.where(sel[:, None], sp, p)
@@ -142,7 +146,7 @@ def sample_emitter_direction(scene: Scene, ref_p, u2, u1) -> tuple:
         # local dir in envmap frame (mitsuba convention: v=theta, u=phi)
         d_loc = jnp.stack([st * jnp.sin(phi), jnp.cos(theta),
                            -st * jnp.cos(phi)], -1)
-        tw = em.to_world[eidx]
+        tw = m.table_lookup(em.to_world, eidx)
         dd = jnp.einsum("nij,nj->ni", tw[:, :3, :3], d_loc)
         pdf_e = cell_pdf * (h * w) / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-6))
         rad = _env_radiance(scene, eidx, dd)
@@ -193,13 +197,13 @@ def sample_emitter_direction(scene: Scene, ref_p, u2, u1) -> tuple:
         dist_p = jnp.sqrt(dist2)
         dd = dvec / dist_p[:, None]
         # direction projector -> point in the projector frame
-        tw = em.to_world[eidx]
+        tw = m.table_lookup(em.to_world, eidx)
         l = jnp.einsum("nji,nj->ni", tw[:, :3, :3], -dd)
         lz = jnp.maximum(l[..., 2], 1e-6)
         u = 0.5 * (1.0 + l[..., 0] / (lz * tan_half))
         v = 0.5 * (1.0 + l[..., 1] / (lz * tan_half))
         inside = (l[..., 2] > 0) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
-        tex = eval_texture(scene.textures, em.tex0[eidx],
+        tex = eval_texture(scene.textures, m.table_lookup(em.tex0, eidx),
                            jnp.stack([u, v], -1))
         sel = etype == EMITTER_PROJECTOR
         p = jnp.where(sel[:, None], pos, p)
@@ -228,13 +232,14 @@ def pdf_emitter_direction(scene: Scene, ref_p, si_emitter, si_p, si_n, d):
     if em.count == 0:
         return jnp.zeros(ref_p.shape[:-1])
     eidx = jnp.maximum(si_emitter, 0)
-    etype = em.etype[eidx]
+    etype = m.table_lookup(em.etype, eidx)
     sel_pdf = em.distr.eval_pdf(eidx)
 
     pdf = jnp.zeros(ref_p.shape[:-1])
     tp = em.types_present
     if EMITTER_AREA in tp:
-        area = scene.shape_area[jnp.maximum(em.shape[eidx], 0)]
+        area = m.table_lookup(scene.shape_area,
+                              jnp.maximum(m.table_lookup(em.shape, eidx), 0))
         dvec = si_p - ref_p
         dist2 = jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12)
         cos_e = jnp.abs(jnp.sum(d * si_n, -1))
@@ -250,7 +255,7 @@ def pdf_emitter_direction(scene: Scene, ref_p, si_emitter, si_p, si_n, d):
 
 def _env_uv(scene: Scene, eidx, d):
     em = scene.emitters
-    tw = em.to_world[eidx]
+    tw = m.table_lookup(em.to_world, eidx)
     d_loc = jnp.einsum("nji,nj->ni", tw[:, :3, :3], d)  # inverse rotation
     theta = m.safe_acos(d_loc[..., 1])
     phi = jnp.arctan2(d_loc[..., 0], -d_loc[..., 2])
@@ -264,7 +269,7 @@ def _env_radiance(scene: Scene, eidx, d):
     em = scene.emitters
     uv, _ = _env_uv(scene, eidx, d)
     rad = eval_texture(scene.textures, em.tex0[eidx], uv)
-    return rad * em.params[eidx][..., 6:7]
+    return rad * m.table_lookup(em.params, eidx)[..., 6:7]
 
 
 def _env_pdf(scene: Scene, eidx, d):
@@ -286,11 +291,12 @@ def eval_emitter_hit(scene: Scene, si, d):
     if em.count == 0:
         return jnp.zeros((n_l, 3)), jnp.full((n_l,), -1, jnp.int32)
     shape = jnp.maximum(si.shape, 0)
-    eidx = jnp.where(si.valid, scene.shape_emitter[shape], -1)
+    eidx = jnp.where(si.valid,
+                     m.table_lookup(scene.shape_emitter, shape), -1)
     has = eidx >= 0
     eidx_s = jnp.maximum(eidx, 0)
     rad = eval_texture(scene.textures, em.tex0[eidx_s], si.uv) \
-        * em.params[eidx_s][..., 0:3]
+        * m.table_lookup(em.params, eidx_s)[..., 0:3]
     # front side only (area emitters emit on the normal side)
     front = jnp.sum(si.ng * d, -1) < 0
     out = jnp.where((has & front)[:, None], rad, 0.0)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import math as m
+
 from ..accel.intersect import ray_intersect
 from ..bsdf.dispatch import bsdf_albedo
 from ..core.rng import make_sampler
@@ -62,7 +64,8 @@ def render_aovs(scene: Scene, aovs=("depth", "position", "sh_normal",
                                   si.uv, 0.0).reshape(h, w, 2)
         elif name == "albedo":
             alb = bsdf_albedo(scene, si,
-                              scene.shape_bsdf[jnp.maximum(si.shape, 0)])
+                              m.table_lookup(scene.shape_bsdf,
+                                             jnp.maximum(si.shape, 0)))
             out[name] = jnp.where(valid, alb, 0.0).reshape(h, w, 3)
         elif name == "prim_index":
             out[name] = si.prim.astype(jnp.float32).reshape(h, w)

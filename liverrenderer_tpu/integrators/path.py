@@ -102,8 +102,8 @@ def bounce(scene: Scene, st: PathState) -> PathState:
     st = st.replace(valid=st.valid | (active & si.valid))
 
     # ---------------- emitter sampling (NEE) ------------------------------
-    flags = scene.bsdfs.flags[jnp.maximum(
-        scene.shape_bsdf[jnp.maximum(si.shape, 0)], 0)]
+    flags = m.table_lookup(scene.bsdfs.flags, jnp.maximum(
+        m.table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0)), 0))
     smooth_here = (flags & F_SMOOTH) != 0
     active_e = active_next & smooth_here
     u2, sampler = st.sampler.next_2d()
@@ -114,9 +114,9 @@ def bounce(scene: Scene, st: PathState) -> PathState:
     occluded = ray_test(scene, Ray(o=sray.o, d=sray.d, maxt=sray.maxt))
     nee_valid &= ~occluded
     wo_local = si.to_local(ds.d)
-    bval, bpdf = bsdf_eval_pdf(scene, si,
-                               scene.shape_bsdf[jnp.maximum(si.shape, 0)],
-                               wo_local)
+    bval, bpdf = bsdf_eval_pdf(
+        scene, si, m.table_lookup(scene.shape_bsdf,
+                                  jnp.maximum(si.shape, 0)), wo_local)
     mis_em = m.mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, bpdf))
     st = st.replace(L=st.L + jnp.where(
         nee_valid[:, None],
@@ -125,8 +125,9 @@ def bounce(scene: Scene, st: PathState) -> PathState:
     # ---------------- BSDF sampling ---------------------------------------
     ub1, sampler = sampler.next_1d()
     ub2, sampler = sampler.next_2d()
-    bs = bsdf_sample(scene, si, scene.shape_bsdf[jnp.maximum(si.shape, 0)],
-                     ub1, ub2)
+    bs = bsdf_sample(scene, si,
+                     m.table_lookup(scene.shape_bsdf,
+                                    jnp.maximum(si.shape, 0)), ub1, ub2)
     wo_world = si.to_world(bs.wo)
     new_ray = si.spawn_ray(wo_world)
     throughput = st.throughput * bs.weight
@@ -141,7 +142,8 @@ def bounce(scene: Scene, st: PathState) -> PathState:
     # dipole shapes instead gather the diffusion term additively.
     if scene.ssub.enabled:
         from ..scene.ir import SSUB_DIPOLE, SSUB_VAE
-        ss_idx_l = scene.shape_subsurface[jnp.maximum(si.shape, 0)]
+        ss_idx_l = m.table_lookup(scene.shape_subsurface,
+                                  jnp.maximum(si.shape, 0))
         ss_t = scene.ssub.ss_type[jnp.maximum(ss_idx_l, 0)]
         ss_any = active_next & si.valid & (ss_idx_l >= 0) & \
             (si.wi[:, 2] > 0)

@@ -166,7 +166,8 @@ def render_ptracer(scene: Scene, spp: int | None = None, seed: int = 0):
                       maxt=jnp.full((n,), jnp.inf))
             si = ray_intersect(scene, ray)
             active = st["active"] & si.valid
-            bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
+            bsdf_idx = m.table_lookup(scene.shape_bsdf,
+                                      jnp.maximum(si.shape, 0))
             # connect surface vertex to the camera through the BSDF
             R, t = _camera_axes(scene)
             d_cam = m.normalize(t - si.p)

@@ -21,8 +21,8 @@ def shading_frame_with_bump(scene: Scene, si: SurfaceInteraction, ray):
     if not scene.has_bump:
         return si
     shape = jnp.maximum(si.shape, 0)
-    btex = scene.shape_bump_tex[shape]
-    bscale = scene.shape_bump_scale[shape]
+    btex = m.table_lookup(scene.shape_bump_tex, shape)
+    bscale = m.table_lookup(scene.shape_bump_scale, shape)
     has_bump = (btex >= 0) & si.valid & (bscale > 0)
     has_nmap = (btex >= 0) & si.valid & (bscale < 0)
 

@@ -61,9 +61,10 @@ def _event_mueller(scene: Scene, si, bs, d_in_light, d_out_light, basis_in,
     from the canonical basis of the incoming light ray to the canonical
     basis of the outgoing (camera-side) ray."""
     n = d_in_light.shape[0]
-    bidx = jnp.maximum(scene.shape_bsdf[jnp.maximum(si.shape, 0)], 0)
-    btype = scene.bsdfs.btype[bidx]
-    prm = scene.bsdfs.params[bidx]
+    bidx = jnp.maximum(m.table_lookup(scene.shape_bsdf,
+                                      jnp.maximum(si.shape, 0)), 0)
+    btype = m.table_lookup(scene.bsdfs.btype, bidx)
+    prm = m.table_lookup(scene.bsdfs.params, bidx)
     # default: depolarizer (diffuse & friends) — basis-independent
     M = jnp.broadcast_to(mu.depolarizer(1.0), (n, 3, 4, 4))
 
@@ -163,7 +164,9 @@ def bounce(scene: Scene, st: PolState) -> PolState:
 
     ub1, sampler = st.sampler.next_1d()
     ub2, sampler = sampler.next_2d()
-    bs = bsdf_sample(scene, si, scene.shape_bsdf[jnp.maximum(si.shape, 0)],
+    bs = bsdf_sample(scene, si,
+                     m.table_lookup(scene.shape_bsdf,
+                                    jnp.maximum(si.shape, 0)),
                      ub1, ub2)
     wo_world = si.to_world(bs.wo)
     new_ray = si.spawn_ray(wo_world)

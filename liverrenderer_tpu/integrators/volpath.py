@@ -99,14 +99,15 @@ def _target_medium(scene: Scene, si, d):
     leaving (d . ng > 0) -> exterior, entering -> interior."""
     shape = jnp.maximum(si.shape, 0)
     outward = jnp.sum(d * si.ng, -1) > 0
-    return jnp.where(outward, scene.shape_ext_medium[shape],
-                     scene.shape_int_medium[shape]).astype(jnp.int32)
+    return jnp.where(outward, m.table_lookup(scene.shape_ext_medium, shape),
+                     m.table_lookup(scene.shape_int_medium,
+                                    shape)).astype(jnp.int32)
 
 
 def _is_transition(scene: Scene, si):
     shape = jnp.maximum(si.shape, 0)
-    return si.valid & ((scene.shape_int_medium[shape] >= 0)
-                       | (scene.shape_ext_medium[shape] >= 0))
+    return si.valid & ((m.table_lookup(scene.shape_int_medium, shape) >= 0)
+                       | (m.table_lookup(scene.shape_ext_medium, shape) >= 0))
 
 
 def _nee_is_analytic(scene: Scene) -> bool:
@@ -202,7 +203,8 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         # surface handling for lanes that reached the surface first
         hit_surface = active & ~scattered & si.valid & (si.t < st["remaining"])
         null_tr = eval_null_transmission(
-            scene, si, scene.shape_bsdf[jnp.maximum(si.shape, 0)])
+            scene, si, m.table_lookup(scene.shape_bsdf,
+                                      jnp.maximum(si.shape, 0)))
         tr = jnp.where(hit_surface[:, None], tr * null_tr, tr)
 
         # advance — only lanes that keep walking move; escaped/dead lanes
@@ -338,7 +340,7 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
 
     # ================= surface interactions =================
     active_surface = (active & ~in_medium) | escaped
-    bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape, 0)]
+    bsdf_idx = m.table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
 
     # emission gathered along the current ray.  Env radiance is NOT
     # evaluated here: escaping ends the path, so the (expensive, bilinear

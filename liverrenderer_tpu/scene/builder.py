@@ -1015,6 +1015,20 @@ class _Builder:
             from .ir import MeasuredTable
             measured_tbl = MeasuredTable()
 
+        # packed per-tri interaction rows (one-gather compute_si)
+        tri_si = np.zeros((max(n_tris_real, 1), 25), np.float32)
+        if n_tris_real:
+            tri_si[:, 0:3] = v0
+            tri_si[:, 3:6] = v1 - v0
+            tri_si[:, 6:9] = v2 - v0
+            tri_si[:, 9:12] = Nrm[F[:, 0]]
+            tri_si[:, 12:15] = Nrm[F[:, 1]]
+            tri_si[:, 15:18] = Nrm[F[:, 2]]
+            tri_si[:, 18:20] = UV[F[:, 0]]
+            tri_si[:, 20:22] = UV[F[:, 1]]
+            tri_si[:, 22:24] = UV[F[:, 2]]
+            tri_si[:, 24] = TS
+
         # emitter selection distribution (uniform, as reference default)
         n_e = len(self.e_type)
         e_weights = np.ones(max(n_e, 1), np.float32)
@@ -1048,6 +1062,22 @@ class _Builder:
             stack = np.zeros((1, 1, 1, 3), np.float32)
             hw = np.ones((1, 2), np.int32)
 
+        # quad-pack (memory x4; gated for very large texture sets)
+        has_quads = stack.size <= 64 << 20
+        if has_quads:
+            quads = np.zeros(stack.shape[:3] + (12,), np.float32)
+            for i in range(stack.shape[0]):
+                h_i, w_i = int(hw[i, 0]), int(hw[i, 1])
+                img = stack[i, :h_i, :w_i]
+                xp = (np.arange(w_i) + 1) % w_i        # repeat wrap
+                yp = (np.arange(h_i) + 1) % h_i
+                quads[i, :h_i, :w_i, 0:3] = img
+                quads[i, :h_i, :w_i, 3:6] = img[:, xp]
+                quads[i, :h_i, :w_i, 6:9] = img[yp]
+                quads[i, :h_i, :w_i, 9:12] = img[yp][:, xp]
+        else:
+            quads = np.zeros((1, 1, 1, 12), np.float32)
+
         textures = Textures(
             ttype=jnp.asarray(self.tex_type or [0], jnp.int32),
             data=jnp.asarray(np.stack(self.tex_data)
@@ -1056,6 +1086,8 @@ class _Builder:
             bitmap_id=jnp.asarray(self.tex_bitmap or [-1], jnp.int32),
             bitmaps=jnp.asarray(stack),
             bitmap_hw=jnp.asarray(hw),
+            quads=jnp.asarray(quads),
+            has_quads=has_quads,
             types_present=tuple(sorted(set(self.tex_type))) or (TEX_CONST,),
         )
 
@@ -1260,7 +1292,10 @@ class _Builder:
             tri_buf=jnp.asarray(tri_buf),
             tri_boxes=jnp.asarray(tri_boxes),
             tri_kperm=jnp.asarray(tri_kperm),
-            ray_sort=n_tris_real > 2048,
+            tri_si=jnp.asarray(tri_si),
+            # ray sorting measured net-negative on TPU (XLA argsort of a
+            # 1M-lane wavefront ~180ms vs ~100ms intersect); opt-in only
+            ray_sort=False,
             measured=measured_tbl,
             bsdfs=bsdfs, emitters=emitters, textures=textures, media=media,
             bvh=bvh, sensor=sensor, ssub=ssub_table,
@@ -1486,6 +1521,13 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
         t = val.get("type")
         if t in _SHAPE_TYPES:
             b.add_shape(val)
+        elif t == "merge":
+            # src/shapes/merge.cpp: container that merges compatible child
+            # meshes — our SoA scene already flattens all geometry into one
+            # buffer, so merging = adding the children
+            for sval in val.values():
+                if isinstance(sval, dict) and sval.get("type") in _SHAPE_TYPES:
+                    b.add_shape(sval)
         elif t == "instance":
             # flattened instancing (src/shapes/{shapegroup,instance}.cpp):
             # replicate the group's shapes with the composed transform

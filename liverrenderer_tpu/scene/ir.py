@@ -119,6 +119,12 @@ class Textures:
     # Bitmaps stacked & padded to a common (H, W); per-bitmap true sizes.
     bitmaps: Array     # (K, H, W, 3) float32 (linear RGB)
     bitmap_hw: Array   # (K, 2) int32 true (h, w)
+    # quad-packed copy: [c00 c01 c10 c11] per texel (wrap-aware) so one
+    # bilinear tap is ONE per-lane gather instead of four (TPU gathers
+    # are multi-ms custom kernels at wavefront sizes)
+    quads: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 1, 1, 12), jnp.float32))
+    has_quads: bool = static_field(default=False)
     types_present: Tuple[int, ...] = static_field(default=(TEX_CONST,))
 
 
@@ -347,6 +353,10 @@ class Scene:
     tri_buf: Array
     tri_boxes: Array
     tri_kperm: Array
+    # (T, 25) packed per-triangle interaction row: p0 e1 e2 n0 n1 n2
+    # uv0 uv1 uv2 shape — compute_si reads ONE gather instead of 11
+    # (vertex-indexed gathers are multi-ms custom kernels on TPU)
+    tri_si: Array
     # ------------- tables -------------
     bsdfs: BSDFs
     emitters: Emitters

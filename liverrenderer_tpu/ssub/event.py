@@ -80,7 +80,8 @@ def _nearest_vertex_poly(scene, si):
     d1 = jnp.sum((si.p - v1) ** 2, -1)
     d2 = jnp.sum((si.p - v2) ** 2, -1)
     sel = jnp.argmin(jnp.stack([d0, d1, d2], -1), -1)
-    vid = jnp.take_along_axis(f, sel[:, None], 1)[:, 0]
+    vid = jnp.where(sel == 0, f[:, 0],
+                    jnp.where(sel == 1, f[:, 1], f[:, 2]))
     return scene.ssub.poly[vid], vid
 
 
@@ -94,8 +95,9 @@ def subsurface_event(scene, si, refr_d, sampler, active):
     from ..emitter.dispatch import sample_emitter_direction
 
     n = refr_d.shape[0]
-    ss_idx = scene.shape_subsurface[jnp.maximum(si.shape, 0)]
-    prm = scene.ssub.params[jnp.maximum(ss_idx, 0)]      # (N, 8)
+    ss_idx = m.table_lookup(scene.shape_subsurface,
+                            jnp.maximum(si.shape, 0))
+    prm = m.table_lookup(scene.ssub.params, jnp.maximum(ss_idx, 0))      # (N, 8)
     sigma_t = prm[:, 0:3]
     albedo = prm[:, 3:6]
     g = prm[:, 6]
@@ -118,11 +120,14 @@ def subsurface_event(scene, si, refr_d, sampler, active):
     u_ch, sampler = sampler.next_1d()
     channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
     poly3, vid = _nearest_vertex_poly(scene, si)         # (N, 3, 20)
-    coeffs_ws = jnp.take_along_axis(
-        poly3, channel[:, None, None], 1)[:, 0]          # (N, 20)
+    ch3 = channel[:, None]
+    coeffs_ws = jnp.where(ch3 == 0, poly3[:, 0],
+                          jnp.where(ch3 == 1, poly3[:, 1],
+                                    poly3[:, 2]))        # (N, 20)
 
-    sig_c = jnp.take_along_axis(sigma_t, channel[:, None], 1)[:, 0]
-    alb_c = jnp.take_along_axis(albedo, channel[:, None], 1)[:, 0]
+    from ..media.dispatch import _index_spectrum
+    sig_c = _index_spectrum(sigma_t, channel)
+    alb_c = _index_spectrum(albedo, channel)
     k_eps = kernel_eps(sig_c, alb_c, g, scene.ssub.kernel_eps_scale)
     f_scale = fit_scale(k_eps)
 

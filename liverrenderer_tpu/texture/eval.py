@@ -8,14 +8,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core import math as m
 from ..scene.ir import Scene, Textures, TEX_CONST, TEX_BITMAP, TEX_CHECKERBOARD
 
 
 def eval_texture(tex: Textures, tex_idx, uv):
     """tex_idx: (N,) int32 (-1 => white); uv: (N,2). Returns (N,3) linear RGB."""
     idx = jnp.maximum(tex_idx, 0)
-    ttype = tex.ttype[idx]
-    data = tex.data[idx]
+    ttype = m.table_lookup(tex.ttype, idx)
+    data = m.table_lookup(tex.data, idx)
     out = jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
 
     present = tex.types_present
@@ -45,8 +46,8 @@ def eval_texture_mono(tex: Textures, tex_idx, uv):
 def _bilinear(tex: Textures, idx, uv):
     """Bilinear, repeat wrap.  v axis points down the image rows, matching the
     reference Bitmap/uv convention."""
-    bid = jnp.maximum(tex.bitmap_id[idx], 0)
-    hw = tex.bitmap_hw[bid]
+    bid = jnp.maximum(m.table_lookup(tex.bitmap_id, idx), 0)
+    hw = m.table_lookup(tex.bitmap_hw, bid)
     h = hw[..., 0].astype(jnp.float32)
     w = hw[..., 1].astype(jnp.float32)
     u = uv[..., 0] - jnp.floor(uv[..., 0])
@@ -58,15 +59,23 @@ def _bilinear(tex: Textures, idx, uv):
     fx = x - x0
     fy = y - y0
 
-    def fetch(xi, yi):
-        xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(hw[..., 1], 1))
-        yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(hw[..., 0], 1))
-        return tex.bitmaps[bid, yi, xi]
+    if tex.has_quads:
+        # one gather: the quad row holds [c00 c01 c10 c11] (wrap-baked)
+        xi = jnp.mod(x0.astype(jnp.int32), jnp.maximum(hw[..., 1], 1))
+        yi = jnp.mod(y0.astype(jnp.int32), jnp.maximum(hw[..., 0], 1))
+        q = tex.quads[bid, yi, xi]
+        c00, c10 = q[..., 0:3], q[..., 3:6]
+        c01, c11 = q[..., 6:9], q[..., 9:12]
+    else:
+        def fetch(xi, yi):
+            xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(hw[..., 1], 1))
+            yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(hw[..., 0], 1))
+            return tex.bitmaps[bid, yi, xi]
 
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
+        c00 = fetch(x0, y0)
+        c10 = fetch(x0 + 1, y0)
+        c01 = fetch(x0, y0 + 1)
+        c11 = fetch(x0 + 1, y0 + 1)
     fx = fx[..., None]
     fy = fy[..., None]
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)

@@ -189,3 +189,31 @@ def test_serialized_mesh_roundtrip(tmp_path):
     np.testing.assert_array_equal(mesh.faces, faces.astype(np.int32))
     np.testing.assert_allclose(mesh.normals, normals)
     np.testing.assert_allclose(mesh.uvs, uvs)
+
+
+def test_merge_shape_container():
+    """merge shape: children flattened into the scene (merge.cpp)."""
+    import numpy as np
+
+    import liverrenderer_tpu as lr
+    scene = lr.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": lr.Transform().look_at([0, 0, 4], [0, 0, 0],
+                                                      [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                            "rfilter": {"type": "box"}}},
+        "group": {"type": "merge",
+                  "a": {"type": "rectangle",
+                        "to_world": lr.Transform().translate([-1.2, 0, 0])
+                        .scale(0.5)},
+                  "b": {"type": "rectangle",
+                        "to_world": lr.Transform().translate([1.2, 0, 0])
+                        .scale(0.5)}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [1.0] * 3}},
+    })
+    assert scene.n_shapes == 2
+    img = np.asarray(lr.render(scene, spp=8, seed=0))
+    assert np.isfinite(img).all()
