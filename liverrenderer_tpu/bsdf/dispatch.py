@@ -51,8 +51,10 @@ def _ctx(scene: Scene, si, bsdf_idx):
     idx = jnp.maximum(bsdf_idx, 0)
     b = scene.bsdfs
     p = m.table_lookup(b.params, idx)
-    t0 = eval_texture(scene.textures, m.table_lookup(b.tex0, idx), si.uv)
-    t1 = eval_texture(scene.textures, m.table_lookup(b.tex1, idx), si.uv)
+    t0 = eval_texture(scene.textures, m.table_lookup(b.tex0, idx), si.uv,
+                      types=b.tex0_types)
+    t1 = eval_texture(scene.textures, m.table_lookup(b.tex1, idx), si.uv,
+                      types=b.tex1_types)
     return idx, m.table_lookup(b.btype, idx), p, t0, t1, \
         m.table_lookup(b.twosided, idx)
 

@@ -251,9 +251,6 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     n = st.ray_o.shape[0]
     sampler = st.sampler
     active = st.active
-    ray = Ray(o=st.ray_o, d=st.ray_d, maxt=jnp.full((n,), INF))
-    si = ray_intersect(scene, ray)
-    si = shading_frame_with_bump(scene, si, ray)
 
     in_medium = active & (st.medium >= 0)
     throughput = st.throughput
@@ -261,10 +258,22 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     tissue_depth = st.tissue_depth
     depth = st.depth
 
-    # ================= medium sampling =================
-    mei, sampler = sample_interaction(
-        scene, st.medium, st.ray_o, st.ray_d, si.t, sampler,
-        st.channel, tissue_depth, in_medium)
+    # ================= medium sampling (candidate first) =================
+    # The tentative collision distance bounds the surface query: the
+    # intersect kernel's chunk culling then skips geometry beyond it
+    # (most chunks, for dense media with short free paths).
+    from ..media.dispatch import (finalize_interaction,
+                                  sample_interaction_candidate)
+    cand, sampler = sample_interaction_candidate(
+        scene, st.medium, st.ray_o, st.ray_d, sampler, st.channel,
+        tissue_depth, in_medium)
+    ray_maxt = jnp.where(in_medium & jnp.isfinite(cand["dist"]),
+                         cand["dist"], INF)
+    ray = Ray(o=st.ray_o, d=st.ray_d, maxt=ray_maxt)
+    si = ray_intersect(scene, ray)
+    si = shading_frame_with_bump(scene, si, ray)
+
+    mei = finalize_interaction(cand, si.t, st.channel, in_medium)
     tr_a, ffpdf = transmittance_eval_pdf(scene, st.medium, mei, si.t)
     tr_pdf = _index_spectrum(ffpdf, st.channel)
     tr_pdf_det = jax.lax.stop_gradient(jnp.maximum(tr_pdf, 1e-30))

@@ -187,14 +187,15 @@ def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
     return bio_type, distance, rate_total, rate_chosen, sampler
 
 
-def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
-                       sampler, channel, tissue_depth, active):
-    """Sample a free-flight distance in each lane's medium.
+def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
+                                 sampler, channel, tissue_depth, active):
+    """Phase 1 of free-flight sampling: draw the tentative collision
+    distance and evaluate coefficients at the candidate point.
 
-    Returns (mei: MediumInteraction, sampler).  mei.t = inf means the lane
-    escaped the medium (reached the surface at maxt first).  For bio media
-    mei.transmittance carries the one-hot/kill semantics
-    (liver.cpp:521-534); stock media leave it at 1.
+    The distance law never depends on the surface distance, so the
+    integrator samples the medium FIRST and bounds its surface query by
+    the candidate collision (accel chunk culling then skips geometry
+    beyond it); `finalize_interaction` applies the real maxt afterwards.
     """
     n = ray_o.shape[0]
     midx = jnp.maximum(medium_idx, 0)
@@ -216,7 +217,7 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
                              maj_het, majorant)
     maj_c = _index_spectrum(majorant, channel)
 
-    # ---- free-flight distance ----
+    # ---- tentative free-flight distance ----
     t_exp = -jnp.log(1.0 - u) / jnp.maximum(maj_c, 1e-20)
     dist = t_exp
     bio_type = jnp.full((n,), BIO_ATTENUATOR, jnp.int32)
@@ -231,6 +232,7 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
         bio_type = jnp.where(is_bio, btype, bio_type)
     else:
         is_bio = jnp.zeros((n,), bool)
+        rate_total = rate_chosen = jnp.zeros((n,))
 
     # Detached sampling (prbvolpath differentiable delta tracking): the
     # sampled collision distance/point carries no derivative; parameter
@@ -238,11 +240,9 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
     # Without this, d(mei.p)/d(sigma) reaches downstream sqrt(disc~0)
     # intersection pullbacks and turns masked lanes into nan.
     dist = jax.lax.stop_gradient(dist)
-    valid = active & (dist <= maxt) & (dist > 0)
-    t = jnp.where(valid, dist, INF)
-    p = ray_o + ray_d * jnp.where(valid, dist, 0.0)[:, None]
+    p = ray_o + ray_d * jnp.where(jnp.isfinite(dist), dist, 0.0)[:, None]
 
-    # ---- local scattering coefficients at the sampled point ----
+    # ---- local scattering coefficients at the candidate point ----
     sigma_t = sigma_t_base
     if MEDIUM_HETEROGENEOUS in tp:
         gid = jnp.maximum(med.grid_id[midx], 0)
@@ -253,10 +253,27 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
     sigma_s = sigma_t * albedo
     sigma_n = jnp.maximum(majorant - sigma_t, 0.0)
 
-    # ---- bio transmittance semantics (liver.cpp:499-534) ----
+    cand = dict(dist=dist, p=p, sigma_t=sigma_t, sigma_s=sigma_s,
+                sigma_n=sigma_n, majorant=majorant, bio_type=bio_type,
+                is_bio=is_bio, rate_total=rate_total,
+                rate_chosen=rate_chosen, bio_present=bio_present)
+    return cand, sampler
+
+
+def finalize_interaction(cand, maxt, channel, active):
+    """Phase 2: apply the true segment bound (surface distance) to the
+    candidate collision — validity, bio transmittance semantics
+    (liver.cpp:499-534) and the score-estimator log-likelihood."""
+    dist = cand["dist"]
+    n = dist.shape[0]
+    valid = active & (dist <= maxt) & (dist > 0)
+    t = jnp.where(valid, dist, INF)
+
     transmittance = jnp.ones((n, 3))
     log_p = jnp.zeros((n,))
-    if bio_present:
+    if cand["bio_present"]:
+        bio_type = cand["bio_type"]
+        is_bio = cand["is_bio"]
         absorbed = (bio_type == BIO_ABSORBER) \
             | ((bio_type == BIO_ABSORBER_AND_ATTENUATOR)
                & (dist < HEPATOCYTE_MEAN_DIAMETER))
@@ -275,17 +292,31 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
         t_det = jax.lax.stop_gradient(jnp.minimum(dist, maxt))
         t_det = jnp.where(jnp.isfinite(t_det), t_det, 0.0)
         scattered_b = jax.lax.stop_gradient(valid)
-        lp_scatter = jnp.log(jnp.maximum(rate_chosen, 1e-20)) \
-            - rate_total * t_det
-        lp_escape = -rate_total * t_det
+        lp_scatter = jnp.log(jnp.maximum(cand["rate_chosen"], 1e-20)) \
+            - cand["rate_total"] * t_det
+        lp_escape = -cand["rate_total"] * t_det
         lp = jnp.where(scattered_b, lp_scatter, lp_escape)
         log_p = jnp.where(is_bio & active, lp, 0.0)
 
-    mei = MediumInteraction(
-        t=t, p=p, sigma_s=sigma_s, sigma_n=sigma_n, sigma_t=sigma_t,
-        combined_extinction=majorant, transmittance=transmittance,
-        log_p=log_p)
-    return mei, sampler
+    return MediumInteraction(
+        t=t, p=cand["p"], sigma_s=cand["sigma_s"], sigma_n=cand["sigma_n"],
+        sigma_t=cand["sigma_t"], combined_extinction=cand["majorant"],
+        transmittance=transmittance, log_p=log_p)
+
+
+def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
+                       sampler, channel, tissue_depth, active):
+    """Sample a free-flight distance in each lane's medium.
+
+    Returns (mei: MediumInteraction, sampler).  mei.t = inf means the lane
+    escaped the medium (reached the surface at maxt first).  For bio media
+    mei.transmittance carries the one-hot/kill semantics
+    (liver.cpp:521-534); stock media leave it at 1.
+    """
+    cand, sampler = sample_interaction_candidate(
+        scene, medium_idx, ray_o, ray_d, sampler, channel, tissue_depth,
+        active)
+    return finalize_interaction(cand, maxt, channel, active), sampler
 
 
 def transmittance_eval_pdf(scene: Scene, medium_idx, mei: MediumInteraction,

@@ -1104,6 +1104,12 @@ class _Builder:
             flags=jnp.asarray(np.asarray(self.b_flags or [0], np.uint32)),
             twosided=jnp.asarray(self.b_twosided or [False]),
             types_present=tuple(sorted(set(self.b_type))) or (BSDF_DIFFUSE,),
+            tex0_types=tuple(sorted({self.tex_type[t] for t in
+                                     (self.b_tex0 or []) if t >= 0})
+                             or [0]),
+            tex1_types=tuple(sorted({self.tex_type[t] for t in
+                                     (self.b_tex1 or []) if t >= 0})
+                             or [0]),
         )
 
         emitters = Emitters(

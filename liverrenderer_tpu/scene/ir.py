@@ -155,6 +155,11 @@ class BSDFs:
     flags: Array     # (B,) uint32 BSDF flag bits
     twosided: Array  # (B,) bool
     types_present: Tuple[int, ...] = static_field(default=(BSDF_DIFFUSE,))
+    # static texture-type sets actually reachable from each slot, so
+    # eval_texture skips the (expensive) bitmap gather when a slot only
+    # ever holds constants
+    tex0_types: Tuple[int, ...] = static_field(default=(TEX_CONST,))
+    tex1_types: Tuple[int, ...] = static_field(default=(TEX_CONST,))
 
 
 @struct.dataclass

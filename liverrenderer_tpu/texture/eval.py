@@ -12,14 +12,17 @@ from ..core import math as m
 from ..scene.ir import Scene, Textures, TEX_CONST, TEX_BITMAP, TEX_CHECKERBOARD
 
 
-def eval_texture(tex: Textures, tex_idx, uv):
-    """tex_idx: (N,) int32 (-1 => white); uv: (N,2). Returns (N,3) linear RGB."""
+def eval_texture(tex: Textures, tex_idx, uv, types=None):
+    """tex_idx: (N,) int32 (-1 => white); uv: (N,2). Returns (N,3) linear
+    RGB.  `types` statically narrows the texture families this call can
+    reach (skips the bitmap gather for const-only slots)."""
     idx = jnp.maximum(tex_idx, 0)
     ttype = m.table_lookup(tex.ttype, idx)
     data = m.table_lookup(tex.data, idx)
     out = jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
 
-    present = tex.types_present
+    present = tex.types_present if types is None \
+        else tuple(set(tex.types_present) & set(types))
     if TEX_CONST in present:
         out = jnp.where((ttype == TEX_CONST)[..., None], data[..., 0:3], out)
     if TEX_CHECKERBOARD in present:
