@@ -22,6 +22,7 @@ from .integrators.aux import (render_aovs, render_depth, render_direct,
 from .integrators.ptracer import render_ptracer
 from .integrators.stokes import render_stokes
 from .util import traverse, apply_params, SceneParameters
+from .largesteps import LargeSteps
 from .io.image import read_image, write_image
 
 __version__ = "0.1.0"
@@ -31,5 +32,6 @@ __all__ = [
     "render_grad", "render_fwd_grad", "render_aovs", "render_depth",
     "render_direct", "render_moments", "render_ptracer", "render_stokes",
     "traverse",
-    "apply_params", "SceneParameters", "read_image", "write_image",
+    "apply_params", "SceneParameters", "LargeSteps", "read_image",
+    "write_image",
 ]

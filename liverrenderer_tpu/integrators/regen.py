@@ -26,7 +26,15 @@ from ..scene.ir import Scene
 from ..sensor.perspective import sample_ray
 from . import volpath as vp
 
-REGEN_WAVEFRONT = 1 << 20   # lanes kept in flight
+import os as _os
+
+# lanes kept in flight; smaller wavefronts shrink the drain tail at the
+# end of the sample budget, larger ones amortize per-iteration overhead
+# measured on v5e (Liver-SingleMesh 428x240@64spp): 1M lanes 1.95 Mpaths/s,
+# 256k 2.59, 128k 2.94, 64k 2.96 — the drain tail after the sample pool
+# empties costs W * (straggler iterations), so smaller wavefronts win once
+# per-iteration overhead is amortized
+REGEN_WAVEFRONT = int(_os.environ.get("LR_WAVEFRONT", 1 << 17))
 
 
 def _make_lanes(scene: Scene, sample_ids, seed, spp: int):
