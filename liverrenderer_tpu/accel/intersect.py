@@ -403,6 +403,12 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     p0 = row[:, 0:3]
     e1 = row[:, 3:6]
     e2 = row[:, 6:9]
+    # re-derive the winner's barycentrics here (the Pallas kernel carries
+    # only (t, prim) through its reduction and returns u = v = 0)
+    tt, uu2, vv2, hh = _moeller_trumbore(ray.o, ray.d, p0, e1, e2)
+    recompute = hit_tri & (u == 0.0) & (v == 0.0)
+    u = jnp.where(recompute & hh, uu2, u)
+    v = jnp.where(recompute & hh, vv2, v)
     w = 1.0 - u - v
     p_tri = p0 + e1 * u[:, None] + e2 * v[:, None]
     ng_tri = m.normalize(jnp.cross(e1, e2))

@@ -60,7 +60,7 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
         # cluster culling: triangles arrive in BVH-leaf order (pack_tris),
         # so a whole chunk is skipped when no ray in the tile enters its
         # AABB closer than the current best hit
-        best_t, best_prim, best_u, best_v = carry
+        best_t, best_prim = carry
         t0x = (boxes_ref[c, 0] - ox) * idx_
         t1x = (boxes_ref[c, 3] - ox) * idx_
         t0y = (boxes_ref[c, 1] - oy) * idy_
@@ -79,7 +79,7 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
                             lambda cr: cr, carry)
 
     def _mt_chunk(c, carry):
-        best_t, best_prim, best_u, best_v = carry
+        best_t, best_prim = carry
         base = c * TILE_T
         p0x = tris_ref[pl.ds(base, TILE_T), 0:1]
         p0y = tris_ref[pl.ds(base, TILE_T), 1:2]
@@ -113,6 +113,9 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
 
         hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
             & (u + v <= 1.0) & (t > 0.0) & (t < best_t) & (t < maxt)
+        # barycentrics of the winner are re-derived outside from the packed
+        # per-tri row (compute_si) — carrying only (t, prim) trims the
+        # per-chunk reduction
         t_m = jnp.where(hit, t, _INF)
         t_min = jnp.min(t_m, axis=0, keepdims=True)           # (1, R)
         sel = t_m == t_min                                     # ties ok
@@ -121,26 +124,17 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
         got = t_min < best_t
         prim_min = jnp.max(jnp.where(sel, tri_ids, -1.0), axis=0,
                            keepdims=True)
-        u_min = jnp.max(jnp.where(sel, u, -_INF), axis=0, keepdims=True)
-        v_min = jnp.max(jnp.where(sel, v, -_INF), axis=0, keepdims=True)
         best_prim = jnp.where(got, prim_min, best_prim)
-        best_u = jnp.where(got, u_min, best_u)
-        best_v = jnp.where(got, v_min, best_v)
         best_t = jnp.where(got, t_min, best_t)
-        return best_t, best_prim, best_u, best_v
+        return best_t, best_prim
 
     init = (jnp.full((1, TILE_R), _INF),
-            jnp.full((1, TILE_R), -1.0),
-            jnp.zeros((1, TILE_R)),
-            jnp.zeros((1, TILE_R)))
-    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init)
+            jnp.full((1, TILE_R), -1.0))
+    best_t, best_prim = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
     out_ref[0:1, :] = best_t
     out_ref[1:2, :] = best_prim
-    out_ref[2:3, :] = best_u
-    out_ref[3:4, :] = best_v
-    out_ref[4:8, :] = jnp.zeros((4, TILE_R))
+    out_ref[2:8, :] = jnp.zeros((6, TILE_R))
 
 
 @partial(jax.jit, static_argnames=("n_tiles",))
@@ -242,18 +236,17 @@ def intersect_tris(tri_buf: jax.Array, boxes: jax.Array, kperm: jax.Array,
     out = _intersect_nograd(rays, tri_buf, boxes)
     t = out[0, :n]
     prim = out[1, :n].astype(jnp.int32)
-    u = out[2, :n]
-    v = out[3, :n]
 
     if sort:
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(n, dtype=order.dtype))
-        t, prim, u, v = t[inv], prim[inv], u[inv], v[inv]
+        t, prim = t[inv], prim[inv]
 
     miss = prim < 0
     prim = jnp.where(miss, -1, kperm[jnp.maximum(prim, 0)])
-    return jnp.where(miss, _INF, t), prim, \
-        jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v)
+    # u, v are re-derived in compute_si from the packed per-tri row
+    zero = jnp.zeros_like(t)
+    return jnp.where(miss, _INF, t), prim, zero, zero
 
 
 def _coherence_order(o, d):

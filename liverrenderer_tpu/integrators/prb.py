@@ -46,12 +46,20 @@ def _grad_jit(scene: Scene, params: Dict[str, Array], seed, spp: int,
         acc = render_pass(sc, seed, spp_pass, i * spp_pass, mode="ad")
         return acc
 
-    # primal image (all passes, no grad) to evaluate dL/dI once
-    def body(i, acc):
-        return acc + jax.lax.stop_gradient(
-            render_p(params, i))
-    acc = jax.lax.fori_loop(0, n_passes, body,
-                            jnp.zeros((h, w, 4), jnp.float32))
+    # primal image (all passes, no grad) to evaluate dL/dI once.  The
+    # regenerating wavefront renders it ~3x faster than the fixed scan;
+    # dL/dI on an independent unbiased primal estimate keeps the adjoint
+    # unbiased (detached-loss evaluation, common.py primal phase).
+    from .regen import regen_applicable, render_regen
+    sc_primal = apply_params(scene, params)
+    if regen_applicable(sc_primal, "primal"):
+        acc = jax.lax.stop_gradient(render_regen(sc_primal, seed, spp))
+    else:
+        def body(i, acc):
+            return acc + jax.lax.stop_gradient(
+                render_p(params, i))
+        acc = jax.lax.fori_loop(0, n_passes, body,
+                                jnp.zeros((h, w, 4), jnp.float32))
     image = film_mod.develop(acc)
     loss, dL_dI = jax.value_and_grad(loss_fn)(image)
 

@@ -45,8 +45,15 @@ def test_pallas_matches_brute(np_rng):
     # ties on shared edges can pick either triangle; t must still agree
     same = pb == pp
     assert same[hit_b].mean() > 0.99
-    np.testing.assert_allclose(up[same & hit_b], ub[same & hit_b],
-                               rtol=1e-4, atol=1e-5)
+    # the kernel carries only (t, prim); barycentrics are re-derived in
+    # compute_si — compare hit positions through the full interaction
+    from liverrenderer_tpu.accel.intersect import ray_intersect
+    si_b = ray_intersect(scene.replace(intersector="brute"), ray)
+    with pltpu.force_tpu_interpret_mode():
+        si_p = ray_intersect(scene.replace(intersector="pallas"), ray)
+    pb3 = np.asarray(si_b.p)[same & hit_b]
+    pp3 = np.asarray(si_p.p)[same & hit_b]
+    np.testing.assert_allclose(pp3, pb3, rtol=1e-4, atol=1e-5)
 
 
 def test_pallas_respects_maxt(np_rng):
