@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_R = 512       # rays per program (lane-major, 4 x 128)
+TILE_R = 1024      # rays per program (measured best on v5e)
 TILE_T = 128       # triangles per inner chunk (sublane-major)
 MAX_VMEM_TRIS = 65536  # 64k tris x 12 x 4B = 3 MB triangle buffer
 

@@ -34,7 +34,7 @@ import os as _os
 # 256k 2.59, 128k 2.94, 64k 2.96 — the drain tail after the sample pool
 # empties costs W * (straggler iterations), so smaller wavefronts win once
 # per-iteration overhead is amortized
-REGEN_WAVEFRONT = int(_os.environ.get("LR_WAVEFRONT", 1 << 17))
+REGEN_WAVEFRONT = int(_os.environ.get("LR_WAVEFRONT", 1 << 16))
 
 
 def _make_lanes(scene: Scene, sample_ids, seed, spp: int):
