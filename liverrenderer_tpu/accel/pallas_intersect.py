@@ -119,8 +119,7 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
         t_m = jnp.where(hit, t, _INF)
         t_min = jnp.min(t_m, axis=0, keepdims=True)           # (1, R)
         sel = t_m == t_min                                     # ties ok
-        tri_ids = (base + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_T, TILE_R), 0)).astype(jnp.float32)
+        tri_ids = tris_ref[pl.ds(base, TILE_T), 9:10]  # baked original ids
         got = t_min < best_t
         prim_min = jnp.max(jnp.where(sel, tri_ids, -1.0), axis=0,
                            keepdims=True)
@@ -191,6 +190,9 @@ def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     buf[:T, 0:3] = v0o
     buf[:T, 3:6] = v1o - v0o
     buf[:T, 6:9] = v2o - v0o
+    # original triangle id baked into the padding column: the reduction
+    # then yields ids directly (no post-kernel permutation gather)
+    buf[:T, 9] = perm.astype(np.float32)
 
     n_chunks = tpad // TILE_T
     boxes = np.zeros((n_chunks, 8), np.float32)
@@ -243,10 +245,10 @@ def intersect_tris(tri_buf: jax.Array, boxes: jax.Array, kperm: jax.Array,
         t, prim = t[inv], prim[inv]
 
     miss = prim < 0
-    prim = jnp.where(miss, -1, kperm[jnp.maximum(prim, 0)])
+    # prim already carries ORIGINAL triangle ids (baked into the buffer)
     # u, v are re-derived in compute_si from the packed per-tri row
     zero = jnp.zeros_like(t)
-    return jnp.where(miss, _INF, t), prim, zero, zero
+    return jnp.where(miss, _INF, t), jnp.where(miss, -1, prim), zero, zero
 
 
 def _coherence_order(o, d):

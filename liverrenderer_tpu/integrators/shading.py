@@ -13,11 +13,17 @@ import jax.numpy as jnp
 from ..core import math as m
 from ..core.types import SurfaceInteraction
 from ..scene.ir import Scene
-from ..texture.eval import eval_texture_mono, eval_texture
+from ..texture.eval import eval_texture, eval_texture_grad_mono
 
 
 def shading_frame_with_bump(scene: Scene, si: SurfaceInteraction, ray):
-    """Perturb si.sh_frame by the shape's bump/normal map (if any)."""
+    """Perturb si.sh_frame by the shape's bump/normal map (if any).
+
+    The height gradient comes from the bilinear patch of ONE quad texture
+    tap (texture/eval.py eval_texture_grad_mono) — per-lane gathers are
+    the expensive op on TPU, so the reference's finite-difference taps
+    (bumpmap.cpp) are folded into the analytic patch derivative.
+    """
     if not scene.has_bump:
         return si
     shape = jnp.maximum(si.shape, 0)
@@ -28,25 +34,21 @@ def shading_frame_with_bump(scene: Scene, si: SurfaceInteraction, ray):
 
     frame = si.sh_frame
     n = frame.n
-    # ---- bump map: height gradient via uv finite differences ----
-    eps = 1.0 / 512.0
-    h0 = eval_texture_mono(scene.textures, btex, si.uv)
-    hu = eval_texture_mono(scene.textures, btex,
-                           si.uv + jnp.array([eps, 0.0]))
-    hv = eval_texture_mono(scene.textures, btex,
-                           si.uv + jnp.array([0.0, eps]))
-    dhdu = (hu - h0) / eps * jnp.abs(bscale)
-    dhdv = (hv - h0) / eps * jnp.abs(bscale)
-    n_bump = m.normalize(n - dhdu[:, None] * frame.s - dhdv[:, None] * frame.t)
+    new_n = n
+    if scene.has_heightmap:
+        _, dhdu, dhdv = eval_texture_grad_mono(scene.textures, btex, si.uv)
+        dhdu = dhdu * jnp.abs(bscale)
+        dhdv = dhdv * jnp.abs(bscale)
+        n_bump = m.normalize(n - dhdu[:, None] * frame.s
+                             - dhdv[:, None] * frame.t)
+        new_n = jnp.where(has_bump[:, None], n_bump, new_n)
+    if scene.has_normalmap:
+        rgb = eval_texture(scene.textures, btex, si.uv)
+        tn = m.normalize(2.0 * rgb - 1.0)
+        n_nmap = m.normalize(tn[:, 0:1] * frame.s + tn[:, 1:2] * frame.t
+                             + tn[:, 2:3] * n)
+        new_n = jnp.where(has_nmap[:, None], n_nmap, new_n)
 
-    # ---- normal map: tangent-space normal from RGB ----
-    rgb = eval_texture(scene.textures, btex, si.uv)
-    tn = m.normalize(2.0 * rgb - 1.0)
-    n_nmap = m.normalize(tn[:, 0:1] * frame.s + tn[:, 1:2] * frame.t
-                         + tn[:, 2:3] * n)
-
-    new_n = jnp.where(has_bump[:, None], n_bump,
-                      jnp.where(has_nmap[:, None], n_nmap, n))
     new_frame = m.make_frame(new_n)
     wi_local = new_frame.to_local(-ray.d)
     use = (has_bump | has_nmap)

@@ -274,9 +274,12 @@ class _Builder:
                                   flags=F_DIFFUSE_REFL, twosided=twosided)
             return idx, -1, 0.0
         if d.get("type") == "ref":
-            kind, idx = self.named[d["id"]]
-            assert kind == "bsdf", d["id"]
-            return idx, -1, 0.0
+            ent = self.named[d["id"]]
+            assert ent[0] == "bsdf", d["id"]
+            # bump/normal-map wrappers survive the ref (scene.xml attaches
+            # the bumpmap'd GlissonCapsuleBSDF by id)
+            return ent[1], (ent[2] if len(ent) > 2 else -1), \
+                (ent[3] if len(ent) > 3 else 0.0)
         t = d["type"]
         if t == "twosided":
             inner = [v for k, v in d.items()
@@ -1315,6 +1318,10 @@ class _Builder:
             hide_emitters=self.hide_emitters,
             camera_medium=self.camera_medium,
             has_bump=any(t >= 0 for t in self.s_bump_tex),
+            has_heightmap=any(t >= 0 and sc > 0 for t, sc in
+                              zip(self.s_bump_tex, self.s_bump_scale)),
+            has_normalmap=any(t >= 0 and sc < 0 for t, sc in
+                              zip(self.s_bump_tex, self.s_bump_scale)),
             needs_surface_nee=needs_surface_nee,
             needs_medium_nee=needs_medium_nee,
         )
@@ -1478,8 +1485,8 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
         vid = val.get("id", key)
         if t in _BSDF_TYPES:
             idx, bt, bs = b.build_bsdf(val)
-            b.named[vid] = ("bsdf", idx)
-            b.named[key] = ("bsdf", idx)
+            b.named[vid] = ("bsdf", idx, bt, bs)
+            b.named[key] = ("bsdf", idx, bt, bs)
         elif t in _MEDIUM_TYPES:
             idx = b.build_medium(val)
             b.named[vid] = ("medium", idx)

@@ -402,6 +402,9 @@ class Scene:
     camera_medium: int = static_field(default=-1)
     intersector: str = static_field(default="auto")  # auto|brute|bvh|pallas
     has_bump: bool = static_field(default=False)
+    # which perturbation families exist (bump scale sign encodes normalmap)
+    has_heightmap: bool = static_field(default=False)
+    has_normalmap: bool = static_field(default=False)
     # curve tubes present: shading frames align s with the fiber tangent
     has_tangents: bool = static_field(default=False)
     # sort the wavefront by origin-morton/direction-octant before the

@@ -83,3 +83,60 @@ def _bilinear(tex: Textures, idx, uv):
     fy = fy[..., None]
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def eval_texture_grad_mono(tex: Textures, tex_idx, uv):
+    """(height, dh/du, dh/dv) for bump mapping in ONE quad tap: the
+    bilinear patch's analytic gradient replaces two extra finite-difference
+    texture fetches (bumpmap.cpp uses ray-differential FD; without ray
+    differentials the patch gradient is the exact local derivative)."""
+    idx = jnp.maximum(tex_idx, 0)
+    ttype = m.table_lookup(tex.ttype, idx)
+    data = m.table_lookup(tex.data, idx)
+    n = uv.shape[:-1]
+    h = jnp.zeros(n, jnp.float32)
+    du = jnp.zeros(n, jnp.float32)
+    dv = jnp.zeros(n, jnp.float32)
+
+    if TEX_CONST in tex.types_present:
+        h = jnp.where(ttype == TEX_CONST, jnp.mean(data[..., 0:3], -1), h)
+    if TEX_BITMAP in tex.types_present:
+        suv = uv * data[..., 6:8] + data[..., 8:10]
+        bid = jnp.maximum(m.table_lookup(tex.bitmap_id, idx), 0)
+        hw = m.table_lookup(tex.bitmap_hw, bid)
+        hh = hw[..., 0].astype(jnp.float32)
+        ww = hw[..., 1].astype(jnp.float32)
+        u = suv[..., 0] - jnp.floor(suv[..., 0])
+        v = suv[..., 1] - jnp.floor(suv[..., 1])
+        x = u * ww - 0.5
+        y = v * hh - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        if tex.has_quads:
+            xi = jnp.mod(x0.astype(jnp.int32), jnp.maximum(hw[..., 1], 1))
+            yi = jnp.mod(y0.astype(jnp.int32), jnp.maximum(hw[..., 0], 1))
+            q = jnp.mean(tex.quads[bid, yi, xi].reshape(n + (4, 3)), -1)
+            c00, c10, c01, c11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        else:
+            def fetch(xa, ya):
+                xa = jnp.mod(xa.astype(jnp.int32),
+                             jnp.maximum(hw[..., 1], 1))
+                ya = jnp.mod(ya.astype(jnp.int32),
+                             jnp.maximum(hw[..., 0], 1))
+                return jnp.mean(tex.bitmaps[bid, ya, xa], -1)
+            c00 = fetch(x0, y0)
+            c10 = fetch(x0 + 1, y0)
+            c01 = fetch(x0, y0 + 1)
+            c11 = fetch(x0 + 1, y0 + 1)
+        hb = (c00 * (1 - fx) + c10 * fx) * (1 - fy) \
+            + (c01 * (1 - fx) + c11 * fx) * fy
+        # d/dx of the patch, then chain rule to uv (texel and to_uv scale)
+        dhdx = (c10 - c00) * (1 - fy) + (c11 - c01) * fy
+        dhdy = (c01 - c00) * (1 - fx) + (c11 - c10) * fx
+        sel = ttype == TEX_BITMAP
+        h = jnp.where(sel, hb, h)
+        du = jnp.where(sel, dhdx * ww * data[..., 6], du)
+        dv = jnp.where(sel, dhdy * hh * data[..., 7], dv)
+    return h, du, dv

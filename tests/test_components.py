@@ -217,3 +217,43 @@ def test_merge_shape_container():
     assert scene.n_shapes == 2
     img = np.asarray(lr.render(scene, spp=8, seed=0))
     assert np.isfinite(img).all()
+
+
+def test_bump_and_normal_map_perturb_shading():
+    """bumpmap/normalmap wrappers perturb the frame (bumpmap.cpp,
+    normalmap.cpp) — including when attached via a named ref."""
+    import numpy as np
+
+    import liverrenderer_tpu as lr
+
+    h = np.zeros((16, 16), np.float32)
+    h[::2, :] = 1.0                       # strong horizontal stripes
+
+    def scene(bsdf):
+        return lr.load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 2},
+            "sensor": {"type": "perspective", "fov": 40.0,
+                       "to_world": lr.Transform().look_at(
+                           [0, 1.5, 2.5], [0, 0, 0], [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 16,
+                                "height": 16,
+                                "rfilter": {"type": "box"}}},
+            "named_mat": {**bsdf, "id": "mat"},
+            "floor": {"type": "rectangle",
+                      "to_world": lr.Transform().rotate([1, 0, 0], -90),
+                      "bsdf": {"type": "ref", "id": "mat"}},
+            "sun": {"type": "directional", "direction": [0.5, -1, -0.2],
+                    "irradiance": {"type": "rgb", "value": [3.0] * 3}},
+        })
+
+    flat = scene({"type": "diffuse"})
+    bumpy = scene({"type": "bumpmap", "scale": 0.4,
+                   "texture": {"type": "bitmap", "data": h},
+                   "bsdf": {"type": "diffuse"}})
+    assert bumpy.has_bump and bumpy.has_heightmap
+    img_f = np.asarray(lr.render(flat, spp=16, seed=0))
+    img_b = np.asarray(lr.render(bumpy, spp=16, seed=0))
+    assert np.isfinite(img_b).all()
+    # stripes modulate the shading across rows
+    assert np.abs(img_b - img_f).max() > 0.05
