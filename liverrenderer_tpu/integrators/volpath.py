@@ -326,7 +326,7 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
         w_real = w_real_stock
     throughput = jnp.where(act_real[:, None], throughput * w_real, throughput)
 
-    ptype, g = medium_phase(scene, st.medium)
+    ptype, g, pprm = medium_phase(scene, st.medium)
     nee_med = act_real & ~is_bio & (depth + 1 < scene.max_depth)
     if not scene.needs_medium_nee:
         nee_med = jnp.zeros_like(nee_med)  # biovolpath / no stock media
@@ -338,10 +338,11 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     # reaches downstream intersection Jacobians and reverse-mode NaNs.
     throughput_pre_phase = throughput
     u2p, sampler = sampler.next_2d()
-    wo_med, _, ppdf = phase_sample(ptype, g, st.ray_d, u2p)
+    wo_med, _, ppdf = phase_sample(ptype, g, st.ray_d, u2p, pprm)
     wo_med = jax.lax.stop_gradient(wo_med)
     ppdf = jax.lax.stop_gradient(ppdf)
-    pval = phase_eval(ptype, g, m.dot(st.ray_d, wo_med))
+    pval = phase_eval(ptype, g, m.dot(st.ray_d, wo_med), pprm,
+                      st.ray_d, wo_med)
     pw = pval / jnp.maximum(ppdf, 1e-20)
     act_real &= ppdf > 0
     throughput = jnp.where(act_real[:, None], throughput * pw[:, None],
@@ -400,7 +401,8 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
             nee_any, scene.max_depth, bounded_nee)
         wo_local = si.to_local(ds_s.d)
         bval, bpdf = bsdf_eval_pdf(scene, si, bsdf_idx, wo_local)
-        ph_val = phase_eval(ptype, g, m.dot(st.ray_d, ds_s.d))
+        ph_val = phase_eval(ptype, g, m.dot(st.ray_d, ds_s.d), pprm,
+                            st.ray_d, ds_s.d)
         cpdf = jnp.where(nee_med, ph_val, bpdf)
         cval = jnp.where(nee_med[:, None], ph_val[:, None], bval)
         mis_e = m.mis_weight(ds_s.pdf, jnp.where(ds_s.delta, 0.0, cpdf))

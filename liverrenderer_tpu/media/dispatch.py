@@ -332,10 +332,11 @@ def transmittance_eval_pdf(scene: Scene, medium_idx, mei: MediumInteraction,
 
 
 def medium_phase(scene: Scene, medium_idx):
-    """(phase_type, g) lanes for the medium table."""
+    """(phase_type, g, param_row) lanes for the medium table — the row
+    carries the extended phases' parameters (phase/dispatch.py)."""
     midx = jnp.maximum(medium_idx, 0)
     prm = m.table_lookup(scene.media.params, midx)
-    return prm[:, 8].astype(jnp.int32), prm[:, 7]
+    return prm[:, 8].astype(jnp.int32), prm[:, 7], prm
 
 
 def medium_is_bio(scene: Scene, medium_idx):

@@ -484,6 +484,43 @@ class _Builder:
                 p[8] = PHASE_RAYLEIGH
             elif pt == "isotropic":
                 p[8] = PHASE_ISOTROPIC
+            elif pt == "blendphase":
+                # src/phase/blendphase.cpp: weighted pair of nested phases
+                from .ir import PHASE_BLEND
+                p[8] = PHASE_BLEND
+                p[11] = float(phase.get("weight", 0.5))
+                kids = [v for v in phase.values() if isinstance(v, dict)
+                        and v.get("type") in ("isotropic", "hg")]
+                assert len(kids) == 2, "blendphase needs two iso/hg children"
+                codes = {"isotropic": PHASE_ISOTROPIC, "hg": PHASE_HG}
+                p[12] = codes[kids[0]["type"]]
+                p[13] = float(kids[0].get("g", 0.0))
+                p[14] = codes[kids[1]["type"]]
+                p[15] = float(kids[1].get("g", 0.0))
+            elif pt == "tabphase":
+                # src/phase/tabphase.cpp: tabulated density over cos_theta;
+                # resampled to the 32 constant bins of phase/dispatch.py
+                from .ir import PHASE_TAB
+                p[8] = PHASE_TAB
+                vals = np.asarray(phase["values"]
+                                  if not isinstance(phase["values"], str)
+                                  else [float(x) for x in
+                                        phase["values"].split(",")],
+                                  np.float64)
+                xs = np.linspace(0.0, 1.0, len(vals))
+                xq = (np.arange(32) + 0.5) / 32.0
+                p[16:48] = np.maximum(np.interp(xq, xs, vals), 0.0)
+            elif pt == "sggx":
+                # src/phase/sggx.cpp: specular microflakes, constant S
+                from .ir import PHASE_SGGX
+                p[8] = PHASE_SGGX
+                if "S" in phase:
+                    p[16:22] = np.asarray(phase["S"], np.float32)
+                else:
+                    for i, k in enumerate(("S_xx", "S_yy", "S_zz",
+                                           "S_xy", "S_xz", "S_yz")):
+                        p[16 + i] = float(phase.get(k,
+                                                    1.0 if i < 3 else 0.0))
             else:
                 raise ValueError(f"unknown phase {pt}")
         p[9] = 1.0 if d.get("has_spectral_extinction", True) else 0.0

@@ -67,6 +67,9 @@ MEDIUM_LIVER = 4
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
+PHASE_BLEND = 3
+PHASE_TAB = 4
+PHASE_SGGX = 5
 
 SHAPE_MESH = 0
 SHAPE_SPHERE = 1

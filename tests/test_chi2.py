@@ -170,3 +170,52 @@ def test_hair_bsdf_chi2(beta_m, beta_n):
 
     ok, p, stat, dof = chi2_test_sphere(sample, pdf, pdf_subdiv=16)
     assert ok, (beta_m, beta_n, p, stat, dof)
+
+
+def _phase_chi2(ptype_code, prm_row, g=0.0, subdiv=16):
+    fwd = jnp.array([0.0, 0.0, 1.0])
+
+    def sample(u2, u1):
+        n = u2.shape[0]
+        ptype = jnp.full((n,), ptype_code, jnp.int32)
+        gl = jnp.full((n,), g)
+        prm = jnp.broadcast_to(prm_row, (n,) + prm_row.shape)
+        wo, _, _ = phase_sample(ptype, gl, jnp.broadcast_to(fwd, (n, 3)),
+                                u2, prm)
+        return wo
+
+    def pdf(d):
+        n = d.shape[0]
+        ptype = jnp.full((n,), ptype_code, jnp.int32)
+        gl = jnp.full((n,), g)
+        prm = jnp.broadcast_to(prm_row, (n,) + prm_row.shape)
+        return phase_eval(ptype, gl, d[..., 2], prm,
+                          jnp.broadcast_to(fwd, (n, 3)), d)
+
+    return chi2_test_sphere(sample, pdf, pdf_subdiv=subdiv)
+
+
+def test_blendphase_chi2():
+    from liverrenderer_tpu.scene.ir import PHASE_BLEND, PHASE_HG, \
+        PHASE_ISOTROPIC
+    prm = jnp.zeros(48).at[11].set(0.35).at[12].set(PHASE_HG) \
+        .at[13].set(0.6).at[14].set(PHASE_ISOTROPIC)
+    ok, p, stat, dof = _phase_chi2(PHASE_BLEND, prm)
+    assert ok, (p, stat, dof)
+
+
+def test_tabphase_chi2():
+    from liverrenderer_tpu.scene.ir import PHASE_TAB
+    vals = np.linspace(0.2, 2.0, 32) ** 2
+    prm = jnp.zeros(48).at[16:48].set(jnp.asarray(vals, jnp.float32))
+    ok, p, stat, dof = _phase_chi2(PHASE_TAB, prm)
+    assert ok, (p, stat, dof)
+
+
+def test_sggx_phase_chi2():
+    from liverrenderer_tpu.scene.ir import PHASE_SGGX
+    # anisotropic fiber-like S
+    prm = jnp.zeros(48).at[16].set(1.0).at[17].set(0.25).at[18].set(0.6) \
+        .at[19].set(0.1)
+    ok, p, stat, dof = _phase_chi2(PHASE_SGGX, prm, subdiv=16)
+    assert ok, (p, stat, dof)

@@ -62,3 +62,38 @@ def test_grid_density_gradient():
     # denser voxels (low albedo) darken the mean image: gradients are
     # predominantly negative where rays pass
     assert g.sum() < 0
+
+
+def test_extended_phases_render():
+    """blendphase / tabphase / sggx attach to media and render
+    (src/phase/{blendphase,tabphase,sggx}.cpp)."""
+    for phase in (
+        {"type": "blendphase", "weight": 0.4,
+         "a": {"type": "hg", "g": 0.5}, "b": {"type": "isotropic"}},
+        {"type": "tabphase", "values": [0.2, 0.5, 1.0, 2.0, 1.0, 0.5]},
+        {"type": "sggx", "S": [1.0, 0.3, 0.6, 0.0, 0.0, 0.0]},
+    ):
+        scene = lr.load_dict({
+            "type": "scene",
+            "integrator": {"type": "volpath", "max_depth": 6},
+            "sensor": {
+                "type": "perspective", "fov": 35.0,
+                "to_world": lr.Transform().look_at([0, 0, 3], [0, 0, 0],
+                                                   [0, 1, 0]),
+                "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                         "rfilter": {"type": "box"}},
+            },
+            "box": {"type": "cube", "bsdf": {"type": "null"},
+                    "to_world": lr.Transform().scale(0.6),
+                    "interior": {"type": "homogeneous",
+                                 "sigma_t": {"type": "rgb",
+                                             "value": [1.5] * 3},
+                                 "albedo": {"type": "rgb",
+                                            "value": [0.8] * 3},
+                                 "phase": phase}},
+            "env": {"type": "constant",
+                    "radiance": {"type": "rgb", "value": [1.0] * 3}},
+        })
+        img = np.asarray(lr.render(scene, spp=16, seed=0))
+        assert np.isfinite(img).all(), phase["type"]
+        assert 0.2 < img.mean() < 1.5, (phase["type"], img.mean())
