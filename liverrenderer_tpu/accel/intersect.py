@@ -463,6 +463,12 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
         shape = jnp.where(is_sdf, scene.sdf_shape[k], shape)
 
     t_out = jnp.where(hit, t, INF)
+    attr = None
+    if scene.has_vertex_attr:
+        fa = scene.faces[prim_s]
+        attr = scene.vertex_attrs[fa[:, 0]] * w[:, None] \
+            + scene.vertex_attrs[fa[:, 1]] * u[:, None] \
+            + scene.vertex_attrs[fa[:, 2]] * v[:, None]
     frame = m.make_frame(ns)
     if scene.has_tangents:
         # curve tubes: align the frame's s-axis with the interpolated fiber
@@ -479,9 +485,13 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
         tvec = jnp.where(use[:, None], jnp.cross(ns, s), frame.t)
         frame = frame.replace(s=s, t=tvec)
     wi_local = frame.to_local(-ray.d)
+    si_kwargs = {}
+    if attr is not None:
+        si_kwargs["attr"] = attr
     return SurfaceInteraction(
         t=t_out, p=p, ng=ng, sh_frame=frame, uv=uv, wi=wi_local,
-        prim=jnp.where(hit_sph, sph, prim).astype(jnp.int32), shape=shape)
+        prim=jnp.where(hit_sph, sph, prim).astype(jnp.int32), shape=shape,
+        **si_kwargs)
 
 
 def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:

@@ -52,9 +52,9 @@ def _ctx(scene: Scene, si, bsdf_idx):
     b = scene.bsdfs
     p = m.table_lookup(b.params, idx)
     t0 = eval_texture(scene.textures, m.table_lookup(b.tex0, idx), si.uv,
-                      types=b.tex0_types)
+                      types=b.tex0_types, p=si.p, attr=si.attr)
     t1 = eval_texture(scene.textures, m.table_lookup(b.tex1, idx), si.uv,
-                      types=b.tex1_types)
+                      types=b.tex1_types, p=si.p, attr=si.attr)
     return idx, m.table_lookup(b.btype, idx), p, t0, t1, \
         m.table_lookup(b.twosided, idx)
 

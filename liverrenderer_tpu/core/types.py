@@ -96,6 +96,10 @@ class SurfaceInteraction:
     wi: Array          # (N,3) incident dir in *local* shading frame
     prim: Array        # (N,) int32 triangle/primitive index (global)
     shape: Array       # (N,) int32 shape index, -1 when invalid
+    # interpolated per-vertex attribute (mesh_attribute textures); zeros
+    # when the scene carries no vertex attributes
+    attr: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
     # dP/duv for texture filtering is omitted round 1 (no ray differentials).
 
     @property

@@ -246,8 +246,38 @@ class _Builder:
             self.tex_bitmap.append(bid)
             return len(self.tex_type) - 1
         if t == "mesh_attribute":
-            # capability stub: evaluates to constant 1 round 1
-            return self.add_const_texture([1.0, 1.0, 1.0])
+            # src/textures/mesh_attribute.cpp: interpolated per-vertex
+            # attribute (compute_si fills si.attr), scaled by `scale`
+            from .ir import TEX_MESHATTR
+            data[0:3] = float(d.get("scale", 1.0))
+            self.tex_type.append(TEX_MESHATTR)
+            self.tex_data.append(data)
+            self.tex_bitmap.append(-1)
+            return len(self.tex_type) - 1
+        if t in ("volume", "gridvolume"):
+            # 3D texture: src/textures/volume + volumes/grid.cpp
+            from .ir import TEX_VOLUME
+            if "filename" in d:
+                path = d["filename"] if os.path.isabs(d["filename"]) \
+                    else os.path.join(self.base_dir, d["filename"])
+                grid = _load_vol(path)
+            else:
+                grid = np.asarray(d.get("data", d.get("grid")), np.float32)
+                if grid.ndim == 3:
+                    grid = grid[..., None]
+            if grid.shape[-1] == 1:
+                grid = np.repeat(grid, 3, -1)
+            if not hasattr(self, "vol_tex_grids"):
+                self.vol_tex_grids, self.vol_tex_l2w = [], []
+            self.vol_tex_grids.append(grid[..., :3].astype(np.float32))
+            to_w = from_any(d["to_world"]).matrix if "to_world" in d \
+                else np.eye(4)
+            self.vol_tex_l2w.append(np.linalg.inv(to_w).astype(np.float32))
+            data[0:3] = _spectrum_to_rgb(d.get("scale", 1.0), 1.0)
+            self.tex_type.append(TEX_VOLUME)
+            self.tex_data.append(data)
+            self.tex_bitmap.append(len(self.vol_tex_grids) - 1)
+            return len(self.tex_type) - 1
         raise ValueError(f"unknown texture type {t}")
 
     # --- bsdfs -----------------------------------------------------------
@@ -832,6 +862,9 @@ class _Builder:
                 # blender.cpp: in-memory mesh handed over by the host app
                 mesh = geo.MeshData(d["vertices"], d["faces"],
                                     d.get("normals"), d.get("uvs"))
+                if "vertex_attrs" in d:
+                    mesh_vattr = np.asarray(d["vertex_attrs"], np.float32)
+                    self.has_vattr = True
             elif t in ("linearcurve", "bsplinecurve"):
                 from .curves import curve_mesh
                 mesh, mesh_tangents = curve_mesh(d, self.base_dir, to_w)
@@ -891,6 +924,12 @@ class _Builder:
             self.tangents.append(
                 locals().get("mesh_tangents")
                 if t in ("linearcurve", "bsplinecurve")
+                else np.zeros_like(mesh.vertices))
+            if not hasattr(self, "vattr_blocks"):
+                self.vattr_blocks = []
+            self.vattr_blocks.append(
+                locals().get("mesh_vattr")
+                if locals().get("mesh_vattr") is not None
                 else np.zeros_like(mesh.vertices))
             self.tri_shape.append(
                 np.full(len(mesh.faces), shape_idx, np.int32))
@@ -1102,6 +1141,23 @@ class _Builder:
             stack = np.zeros((1, 1, 1, 3), np.float32)
             hw = np.ones((1, 2), np.int32)
 
+        # 3D texture grid stack (volume textures)
+        vt = getattr(self, "vol_tex_grids", [])
+        if vt:
+            Dm = max(g.shape[0] for g in vt)
+            Hm = max(g.shape[1] for g in vt)
+            Wm = max(g.shape[2] for g in vt)
+            vg = np.zeros((len(vt), Dm, Hm, Wm, 3), np.float32)
+            vwhd = np.zeros((len(vt), 3), np.int32)
+            for i, g in enumerate(vt):
+                vg[i, :g.shape[0], :g.shape[1], :g.shape[2]] = g
+                vwhd[i] = g.shape[:3]
+            vl2w = np.stack(self.vol_tex_l2w)
+        else:
+            vg = np.zeros((1, 2, 2, 2, 3), np.float32)
+            vwhd = np.full((1, 3), 2, np.int32)
+            vl2w = np.eye(4, dtype=np.float32)[None]
+
         # quad-pack (memory x4; gated for very large texture sets)
         has_quads = stack.size <= 64 << 20
         if has_quads:
@@ -1127,6 +1183,9 @@ class _Builder:
             bitmaps=jnp.asarray(stack),
             bitmap_hw=jnp.asarray(hw),
             quads=jnp.asarray(quads),
+            vgrids=jnp.asarray(vg),
+            vgrid_whd=jnp.asarray(vwhd),
+            vgrid_to_local=jnp.asarray(vl2w),
             has_quads=has_quads,
             types_present=tuple(sorted(set(self.tex_type))) or (TEX_CONST,),
         )
@@ -1310,6 +1369,12 @@ class _Builder:
             uvs=jnp.asarray(UV, jnp.float32),
             tangents=jnp.asarray(TGT, jnp.float32),
             has_tangents=self.has_curves,
+            vertex_attrs=jnp.asarray(
+                np.concatenate(self.vattr_blocks)
+                if getattr(self, "has_vattr", False)
+                and getattr(self, "vattr_blocks", None)
+                else np.zeros((1, 3), np.float32), jnp.float32),
+            has_vertex_attr=getattr(self, "has_vattr", False),
             sdf_grids=jnp.asarray(SDF_G, jnp.float32),
             sdf_whd=jnp.asarray(SDF_WHD, jnp.int32),
             sdf_to_local=jnp.asarray(SDF_L, jnp.float32),

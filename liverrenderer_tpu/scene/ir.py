@@ -57,6 +57,8 @@ EMITTER_PROJECTOR = 6
 TEX_CONST = 0
 TEX_BITMAP = 1
 TEX_CHECKERBOARD = 2
+TEX_MESHATTR = 3
+TEX_VOLUME = 4
 
 MEDIUM_HOMOGENEOUS = 0
 MEDIUM_HETEROGENEOUS = 1
@@ -127,6 +129,13 @@ class Textures:
     # are multi-ms custom kernels at wavefront sizes)
     quads: Array = struct.field(
         default_factory=lambda: jnp.zeros((1, 1, 1, 12), jnp.float32))
+    # 3D texture grids (src/textures/volume + volumes/grid.cpp as texture)
+    vgrids: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 2, 2, 2, 3), jnp.float32))
+    vgrid_whd: Array = struct.field(
+        default_factory=lambda: jnp.full((1, 3), 2, jnp.int32))
+    vgrid_to_local: Array = struct.field(
+        default_factory=lambda: jnp.eye(4, dtype=jnp.float32)[None])
     has_quads: bool = static_field(default=False)
     types_present: Tuple[int, ...] = static_field(default=(TEX_CONST,))
 
@@ -377,6 +386,9 @@ class Scene:
     # hair shading frames take s = tangent (scene/curves.py)
     tangents: Array = struct.field(
         default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    # per-vertex rgb attribute for mesh_attribute textures
+    vertex_attrs: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
     measured: MeasuredTable = struct.field(default_factory=MeasuredTable)
     # SDF grid shapes (reference src/shapes/sdfgrid.cpp): signed-distance
     # values on a [0,1]^3-local grid, sphere-traced in the intersector
@@ -410,6 +422,7 @@ class Scene:
     has_normalmap: bool = static_field(default=False)
     # curve tubes present: shading frames align s with the fiber tangent
     has_tangents: bool = static_field(default=False)
+    has_vertex_attr: bool = static_field(default=False)
     # sort the wavefront by origin-morton/direction-octant before the
     # Pallas intersect (coherent tiles -> chunk culling bites on bounces)
     ray_sort: bool = static_field(default=False)

@@ -9,13 +9,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import math as m
-from ..scene.ir import Scene, Textures, TEX_CONST, TEX_BITMAP, TEX_CHECKERBOARD
+from ..scene.ir import (Scene, Textures, TEX_BITMAP, TEX_CHECKERBOARD,
+                        TEX_CONST, TEX_MESHATTR, TEX_VOLUME)
 
 
-def eval_texture(tex: Textures, tex_idx, uv, types=None):
+def eval_texture(tex: Textures, tex_idx, uv, types=None, p=None,
+                 attr=None):
     """tex_idx: (N,) int32 (-1 => white); uv: (N,2). Returns (N,3) linear
     RGB.  `types` statically narrows the texture families this call can
-    reach (skips the bitmap gather for const-only slots)."""
+    reach (skips the bitmap gather for const-only slots); `p` is the world
+    hit position (volume textures), `attr` the interpolated vertex
+    attribute (mesh_attribute textures)."""
     idx = jnp.maximum(tex_idx, 0)
     ttype = m.table_lookup(tex.ttype, idx)
     data = m.table_lookup(tex.data, idx)
@@ -38,6 +42,14 @@ def eval_texture(tex: Textures, tex_idx, uv, types=None):
         suv = uv * data[..., 6:8] + data[..., 8:10]
         col = _bilinear(tex, idx, suv)
         out = jnp.where((ttype == TEX_BITMAP)[..., None], col, out)
+    if TEX_MESHATTR in present and attr is not None:
+        # mesh_attribute.cpp: per-vertex attribute, scaled by data[0:3]
+        out = jnp.where((ttype == TEX_MESHATTR)[..., None],
+                        attr * data[..., 0:3], out)
+    if TEX_VOLUME in present and p is not None:
+        out = jnp.where((ttype == TEX_VOLUME)[..., None],
+                        _trilinear_volume(tex, idx, p) * data[..., 0:3],
+                        out)
 
     return jnp.where((tex_idx >= 0)[..., None], out, 1.0)
 
@@ -140,3 +152,35 @@ def eval_texture_grad_mono(tex: Textures, tex_idx, uv):
         du = jnp.where(sel, dhdx * ww * data[..., 6], du)
         dv = jnp.where(sel, dhdy * hh * data[..., 7], dv)
     return h, du, dv
+
+
+def _trilinear_volume(tex: Textures, idx, p):
+    """3D texture lookup at the world position (volume texture / grid.cpp
+    trilinear interpolation); resource id shared through bitmap_id."""
+    vid = jnp.maximum(m.table_lookup(tex.bitmap_id, idx), 0)
+    g2l = m.table_lookup(tex.vgrid_to_local, vid)
+    pl = jnp.einsum("nij,nj->ni", g2l[:, :3, :3], p) + g2l[:, :3, 3]
+    whd = m.table_lookup(tex.vgrid_whd, vid)
+    D = (whd[:, 0] - 1).astype(jnp.float32)
+    H = (whd[:, 1] - 1).astype(jnp.float32)
+    W = (whd[:, 2] - 1).astype(jnp.float32)
+    x = jnp.clip(pl[:, 0], 0.0, 1.0) * W
+    y = jnp.clip(pl[:, 1], 0.0, 1.0) * H
+    z = jnp.clip(pl[:, 2], 0.0, 1.0) * D
+    x0 = jnp.clip(x.astype(jnp.int32), 0, whd[:, 2] - 2)
+    y0 = jnp.clip(y.astype(jnp.int32), 0, whd[:, 1] - 2)
+    z0 = jnp.clip(z.astype(jnp.int32), 0, whd[:, 0] - 2)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    fz = (z - z0)[:, None]
+
+    def g(dz, dy, dx):
+        return tex.vgrids[vid, z0 + dz, y0 + dy, x0 + dx]
+
+    c00 = g(0, 0, 0) * (1 - fx) + g(0, 0, 1) * fx
+    c01 = g(0, 1, 0) * (1 - fx) + g(0, 1, 1) * fx
+    c10 = g(1, 0, 0) * (1 - fx) + g(1, 0, 1) * fx
+    c11 = g(1, 1, 0) * (1 - fx) + g(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
