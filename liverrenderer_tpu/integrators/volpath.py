@@ -338,11 +338,12 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     # reaches downstream intersection Jacobians and reverse-mode NaNs.
     throughput_pre_phase = throughput
     u2p, sampler = sampler.next_2d()
-    wo_med, _, ppdf = phase_sample(ptype, g, st.ray_d, u2p, pprm)
+    wo_med, _, ppdf = phase_sample(ptype, g, st.ray_d, u2p, pprm,
+                                   scene.media.phase_types)
     wo_med = jax.lax.stop_gradient(wo_med)
     ppdf = jax.lax.stop_gradient(ppdf)
     pval = phase_eval(ptype, g, m.dot(st.ray_d, wo_med), pprm,
-                      st.ray_d, wo_med)
+                      st.ray_d, wo_med, scene.media.phase_types)
     pw = pval / jnp.maximum(ppdf, 1e-20)
     act_real &= ppdf > 0
     throughput = jnp.where(act_real[:, None], throughput * pw[:, None],
@@ -402,7 +403,7 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
         wo_local = si.to_local(ds_s.d)
         bval, bpdf = bsdf_eval_pdf(scene, si, bsdf_idx, wo_local)
         ph_val = phase_eval(ptype, g, m.dot(st.ray_d, ds_s.d), pprm,
-                            st.ray_d, ds_s.d)
+                            st.ray_d, ds_s.d, scene.media.phase_types)
         cpdf = jnp.where(nee_med, ph_val, bpdf)
         cval = jnp.where(nee_med[:, None], ph_val[:, None], bval)
         mis_e = m.mis_weight(ds_s.pdf, jnp.where(ds_s.delta, 0.0, cpdf))

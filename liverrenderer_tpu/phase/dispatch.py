@@ -156,29 +156,45 @@ def _basic_eval(ptype, g, cos_theta):
     return out
 
 
-def phase_eval(ptype, g, cos_theta, prm=None, fwd=None, wo=None):
+def _safe_s(prm, ptype):
+    """SGGX S entries, identity-sanitized on non-sggx lanes: the medium
+    row slots alias bio-media data there, and a poisoned (NaN/inf)
+    untaken branch would leak through jnp.where in reverse mode."""
+    sel = (ptype == PHASE_SGGX)[..., None]
+    ident = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+    return jnp.where(sel, prm[..., 16:22], ident)
+
+
+def phase_eval(ptype, g, cos_theta, prm=None, fwd=None, wo=None,
+               present=None):
     """Phase value (== pdf for the perfectly importance-sampled types).
 
     prm: (N, MEDIUM_P) medium rows for the extended phases; fwd/wo world
     directions (needed by sggx, which is not a function of cos_theta
-    alone)."""
+    alone); `present` = scene.media.phase_types (statically elides the
+    extended branches)."""
     out = _basic_eval(ptype, g, cos_theta)
-    if prm is not None:
+    if prm is None:
+        return out
+    present = set(present) if present is not None \
+        else {PHASE_BLEND, PHASE_TAB, PHASE_SGGX}
+    if PHASE_BLEND in present:
         w, t1, g1, t2, g2 = _blend_children(prm)
         blend = w * _basic_eval(t1, g1, cos_theta) \
             + (1.0 - w) * _basic_eval(t2, g2, cos_theta)
         out = jnp.where(ptype == PHASE_BLEND, blend, out)
+    if PHASE_TAB in present:
         out = jnp.where(ptype == PHASE_TAB, _tab_eval(prm, cos_theta), out)
-        if fwd is not None and wo is not None:
-            s = prm[..., 16:22]
-            wi_m = -fwd
-            h = m.normalize(wi_m + wo)
-            sggx = 0.25 * _sggx_ndf(h, s) / _sggx_sigma(wi_m, s)
-            out = jnp.where(ptype == PHASE_SGGX, sggx, out)
+    if PHASE_SGGX in present and fwd is not None and wo is not None:
+        s = _safe_s(prm, ptype)
+        wi_m = -fwd
+        h = m.normalize(wi_m + wo)
+        sggx = 0.25 * _sggx_ndf(h, s) / _sggx_sigma(wi_m, s)
+        out = jnp.where(ptype == PHASE_SGGX, sggx, out)
     return out
 
 
-def phase_sample(ptype, g, fwd, u2, prm=None):
+def phase_sample(ptype, g, fwd, u2, prm=None, present=None):
     """Sample an outgoing direction.
 
     ptype, g: (N,) lane arrays; fwd: (N,3) propagation direction (world).
@@ -192,7 +208,9 @@ def phase_sample(ptype, g, fwd, u2, prm=None):
     wo = jnp.where(is_hg[..., None], d_hg, d_iso)
     exact = is_hg | (ptype == PHASE_ISOTROPIC)
 
-    if prm is not None:
+    present_s = set(present) if present is not None \
+        else {PHASE_BLEND, PHASE_TAB, PHASE_SGGX}
+    if prm is not None and PHASE_BLEND in present_s:
         # blendphase: pick a child with u2[:,0], rescale, sample it
         w, t1, g1, t2, g2 = _blend_children(prm)
         pick1 = u2[..., 0] < w
@@ -206,6 +224,7 @@ def phase_sample(ptype, g, fwd, u2, prm=None):
         d_blend = jnp.where((tb == PHASE_HG)[..., None], d_hgb, d_isob)
         wo = jnp.where((ptype == PHASE_BLEND)[..., None], d_blend, wo)
 
+    if prm is not None and PHASE_TAB in present_s:
         # tabphase: inverse-CDF cos_theta + uniform azimuth
         ct = _tab_sample_cos(prm, u2[..., 0])
         st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
@@ -215,8 +234,9 @@ def phase_sample(ptype, g, fwd, u2, prm=None):
         wo = jnp.where((ptype == PHASE_TAB)[..., None], d_tab, wo)
         exact = exact | (ptype == PHASE_TAB)
 
+    if prm is not None and PHASE_SGGX in present_s:
         # sggx specular: reflect off a sampled visible microflake normal
-        s = prm[..., 16:22]
+        s = _safe_s(prm, ptype)
         wi_m = -fwd
         nrm = _sggx_sample_normal(wi_m, u2, s)
         d_sggx = m.normalize(2.0 * jnp.sum(wi_m * nrm, -1)[..., None] * nrm
@@ -225,7 +245,7 @@ def phase_sample(ptype, g, fwd, u2, prm=None):
         exact = exact | (ptype == PHASE_SGGX)
 
     cos_t = m.dot(fwd, wo)
-    val = phase_eval(ptype, g, cos_t, prm, fwd, wo)
+    val = phase_eval(ptype, g, cos_t, prm, fwd, wo, present)
     pdf = val
     if prm is not None:
         # blendphase samples the mixture exactly in direction space only

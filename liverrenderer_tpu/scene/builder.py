@@ -1253,6 +1253,8 @@ class _Builder:
             grid_whd=jnp.asarray(gwhd),
             grid_to_local=jnp.asarray(g2l, jnp.float32),
             types_present=tuple(sorted(set(self.m_type))),
+            phase_types=tuple(sorted({int(p_[8]) for p_ in self.m_params}))
+            if self.m_params else (0,),
             count=len(self.m_type),
         )
 

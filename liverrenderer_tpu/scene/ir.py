@@ -227,6 +227,9 @@ class Media:
     grid_whd: Array  # (G, 3) int32 true sizes
     grid_to_local: Array  # (G, 4, 4) world->grid-local transforms
     types_present: Tuple[int, ...] = static_field(default=())
+    # static set of phase-function codes used by any medium (gates the
+    # extended-phase evaluation paths)
+    phase_types: Tuple[int, ...] = static_field(default=(0,))
     count: int = static_field(default=0)
 
 
