@@ -97,8 +97,9 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
         pvy = dz * e2x - dx * e2z
         pvz = dx * e2y - dy * e2x
         det = e1x * pvx + e1y * pvy + e1z * pvz
-        inv_det = jnp.where(jnp.abs(det) > 1e-12,
-                            1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+        # padded rows have det == 0 -> 1/0 = inf -> rejected by the u/v
+        # window tests; a single select beats the double-guard
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
         # tvec = o - p0
         tvx = ox - p0x
         tvy = oy - p0y
