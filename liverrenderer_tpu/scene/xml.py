@@ -87,7 +87,9 @@ def _parse_transform(el, subst) -> Transform:
             t = Transform().look_at(pv(a["origin"]), pv(a["target"]),
                                     pv(a["up"])).matmul(t)
         elif op.tag == "matrix":
-            vals = [float(x) for x in subst(op.attrib["value"]).split()]
+            # mitsuba accepts comma and/or whitespace separators (parser.cpp)
+            vals = [float(x) for x in
+                    subst(op.attrib["value"]).replace(",", " ").split()]
             m = np.asarray(vals).reshape(4, 4)
             t = Transform(m).matmul(t)
     return t

@@ -324,3 +324,32 @@ def test_volume_texture():
     right = img[8, 12]
     assert left[0] > 2 * left[1], left          # red half
     assert right[1] > 0.5 * right[0], right     # yellow half
+
+
+def test_xml_matrix_comma_separators(tmp_path):
+    """<matrix value> accepts comma and/or whitespace separators
+    (parser.cpp tokenization; SphereLiverPoint/sss/scene.xml uses commas)."""
+    import numpy as np
+
+    import liverrenderer_tpu as lr
+    xml = """<scene version="3.0.0">
+      <integrator type="path"/>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <transform name="to_world">
+          <matrix value="1, 0, 0, 0, 0, 1, 0, 0.5, 0, 0, 1, -3, 0, 0, 0, 1"/>
+        </transform>
+        <film type="hdrfilm">
+          <integer name="width" value="4"/>
+          <integer name="height" value="4"/>
+        </film>
+      </sensor>
+      <emitter type="constant">
+        <rgb name="radiance" value="1, 1, 1"/>
+      </emitter>
+    </scene>"""
+    f = tmp_path / "s.xml"
+    f.write_text(xml)
+    scene = lr.load_file(str(f))
+    tw = np.asarray(scene.sensor.to_world)
+    assert abs(tw[1, 3] - 0.5) < 1e-6 and abs(tw[2, 3] + 3.0) < 1e-6
