@@ -140,7 +140,12 @@ def _convert(el, subst):
 
     # object tags: integrator, sensor, film, sampler, bsdf, shape, emitter,
     # medium, phase, texture, rfilter, volume ...
-    d: Dict[str, Any] = {"type": attrib.get("type", tag)}
+    # the fork's scenes carry a few Initial-Capitalized plugin names
+    # ("Dielectric", SphereLiverPoint/mitsuba3) that stock Mitsuba would
+    # reject; normalize just the initial (camelCase types like
+    # glissonCapsule are canonical)
+    _t = attrib.get("type", tag)
+    d: Dict[str, Any] = {"type": _t[:1].lower() + _t[1:]}
     if "id" in attrib:
         d["id"] = attrib["id"]
     cnt = 0
@@ -156,7 +161,8 @@ def _convert(el, subst):
             if child.tag == "medium" and key not in ("interior", "exterior"):
                 key = "interior"
             if child.tag == "rfilter":
-                val = {"type": child.attrib["type"]}
+                _rt = child.attrib["type"]
+                val = {"type": _rt[:1].lower() + _rt[1:]}
         if key in d:
             cnt += 1
             key = f"{key}_{cnt}"

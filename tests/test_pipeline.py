@@ -100,3 +100,17 @@ def test_cli_renders_cornell(tmp_path):
     import liverrenderer_tpu as lr
     img = lr.read_image(str(out))
     assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_all_reference_scenes_load():
+    """Every scene XML in the reference checkout loads and builds
+    (parser parity incl. the fork's quirks: capitalized plugin names,
+    comma matrices, legacy refs)."""
+    import glob
+
+    import liverrenderer_tpu as lr
+    xmls = sorted(glob.glob("/root/reference/scenes/*/mitsuba3/scene.xml"))
+    assert len(xmls) >= 7
+    for xml in xmls:
+        scene = lr.load_file(xml, res_width=8, res_height=5, spp=1)
+        assert scene.n_shapes >= 1, xml
