@@ -37,12 +37,15 @@ import os as _os
 REGEN_WAVEFRONT = int(_os.environ.get("LR_WAVEFRONT", 1 << 16))
 
 
-def _make_lanes(scene: Scene, sample_ids, seed, spp: int):
+def _make_lanes(scene: Scene, sample_ids, seed, spp: int, pix0: int = 0,
+                tile_pix: int | None = None):
     """Seed path states for sample indices (pixel-minor ordering so early
-    iterations cover the whole film)."""
+    iterations cover the whole film).  pix0/tile_pix restrict the sample
+    pool to a pixel tile (large-film mode)."""
     w, h = scene.film_w, scene.film_h
-    n_pix = w * h
-    pix = (sample_ids % n_pix).astype(jnp.uint32)
+    n_pix = tile_pix if tile_pix is not None else w * h
+    pix = (sample_ids % n_pix).astype(jnp.uint32) \
+        + jnp.asarray(pix0, jnp.uint32)
     samp = (sample_ids // n_pix).astype(jnp.uint32)
     sampler = make_sampler(pix, samp, seed, kind=scene.sampler_kind, spp=spp)
     px = (pix % w).astype(jnp.float32)
@@ -60,16 +63,22 @@ def _select_state(mask, new, old):
             mask.reshape(mask.shape + (1,) * (a.ndim - 1)), a, b), new, old)
 
 
-@partial(jax.jit, static_argnames=("spp",))
-def render_regen(scene: Scene, seed, spp: int):
-    """Full-frame render with lane regeneration -> (h, w, 4) accumulator."""
+# pixels per regen tile: films above this are rendered tile-by-tile so the
+# while-loop film carry stays small — a multi-MB carry evicts the loop's
+# scoped-VMEM staging and slows every in-loop gather/scatter by >10x
+# (measured: 1080p film doubled per-iteration cost)
+TILE_PIX = 1 << 18
+
+
+def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int):
+    """One regenerating wavefront over a pixel tile -> (tile_pix, 4)."""
     w, h = scene.film_w, scene.film_h
-    n_pix = w * h
-    budget = n_pix * spp
+    budget = tile_pix * spp
     W = min(REGEN_WAVEFRONT, budget)
 
-    st, pos = _make_lanes(scene, jnp.arange(W, dtype=jnp.uint32), seed, spp)
-    film = jnp.zeros((h * w, 4))
+    st, pos = _make_lanes(scene, jnp.arange(W, dtype=jnp.uint32), seed, spp,
+                          pix0, tile_pix)
+    film = jnp.zeros((tile_pix, 4))
     refills = (budget + W - 1) // W
     # per-lane iteration budget matches the fixed wavefront's loop cap
     # (volpath.sample max_iters) so both renderers compute the identical
@@ -89,21 +98,56 @@ def render_regen(scene: Scene, seed, spp: int):
         st = st.replace(active=st.active & (age < lane_cap))
         died = was_active & ~st.active
 
-        # finalize + splat the finished lanes (box filter: single tap)
+        # finalize + splat the finished lanes.  box: one tap; tent: the
+        # 2x2 filter-weighted neighborhood (the GlissonCapsule/Parenchyma
+        # scenes' rfilter).  Lanes of the padded last tile carry pixel ids
+        # >= n_pix (pos_y >= h before clipping): their splats are masked
+        # out, not clamped into real pixels; taps landing outside the tile
+        # are dropped by the scatter's OOB semantics (filter-importance
+        # normalization in develop keeps the estimator consistent).
         L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
-        px = jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
-        py = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1)
-        idx = py * w + px
-        data = jnp.concatenate([L, jnp.ones((W, 1))], -1)
-        film = film.at[idx].add(jnp.where(died[:, None], data, 0.0))
+        in_range = pos[:, 1] < h
+        p0i = jnp.asarray(pix0, jnp.int32)
+        from ..scene.ir import FILTER_TENT
+        if scene.rfilter == FILTER_TENT:
+            ix0 = jnp.floor(pos[:, 0] - 0.5).astype(jnp.int32)
+            iy0 = jnp.floor(pos[:, 1] - 0.5).astype(jnp.int32)
+            idxs, datas = [], []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    ix = ix0 + dx
+                    iy = iy0 + dy
+                    fw = jnp.maximum(1.0 - jnp.abs(pos[:, 0]
+                                                   - (ix + 0.5)), 0.0) \
+                        * jnp.maximum(1.0 - jnp.abs(pos[:, 1]
+                                                    - (iy + 0.5)), 0.0)
+                    ok = died & in_range & (ix >= 0) & (ix < w) \
+                        & (iy >= 0) & (iy < h)
+                    tap_idx = iy * w + ix - p0i
+                    # out-of-tile taps -> send out of bounds (dropped)
+                    tap_idx = jnp.where(ok, tap_idx, -1)
+                    idxs.append(tap_idx)
+                    datas.append(jnp.concatenate(
+                        [L * fw[:, None], fw[:, None]], -1)
+                        * ok[:, None])
+            film = film.at[jnp.concatenate(idxs)].add(
+                jnp.concatenate(datas),
+                mode="drop")
+        else:
+            px = jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
+            py = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1)
+            idx = py * w + px - p0i
+            data = jnp.concatenate([L, jnp.ones((W, 1))], -1)
+            film = film.at[idx].add(
+                jnp.where((died & in_range)[:, None], data, 0.0))
 
         # regenerate from the pool
         ranks = jnp.cumsum(died.astype(jnp.uint32)) - 1
         new_ids = next_s + ranks
         take = died & (new_ids < budget)
         new_st, new_pos = _make_lanes(scene, jnp.where(take, new_ids, 0),
-                                      seed, spp)
+                                      seed, spp, pix0, tile_pix)
         st = _select_state(take, new_st, st)
         pos = jnp.where(take[:, None], new_pos, pos)
         age = jnp.where(take, 0, age)
@@ -114,16 +158,41 @@ def render_regen(scene: Scene, seed, spp: int):
     init = (st, pos, film, jnp.zeros((W,), jnp.int32), jnp.uint32(W),
             jnp.int32(0))
     st, pos, film, age, next_s, it = jax.lax.while_loop(cond, body, init)
-    return film.reshape(h, w, 4)
+    return film
+
+
+@partial(jax.jit, static_argnames=("spp",))
+def render_regen(scene: Scene, seed, spp: int):
+    """Full-frame render with lane regeneration -> (h, w, 4) accumulator."""
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    if n_pix <= TILE_PIX:
+        film = _render_regen_tile(scene, seed, spp, 0, n_pix)
+        return film.reshape(h, w, 4)
+
+    # tile-by-tile: every tile's loop carries only its own small film.
+    # Pixels past n_pix in the padded last tile render but their splats
+    # land beyond the slice and the lanes are pure (bounded) waste.
+    n_tiles = (n_pix + TILE_PIX - 1) // TILE_PIX
+
+    def tile_body(t, film):
+        tile = _render_regen_tile(scene, seed, spp, t * TILE_PIX,
+                                  TILE_PIX)
+        return jax.lax.dynamic_update_slice(film, tile, (t * TILE_PIX, 0))
+
+    film = jax.lax.fori_loop(
+        0, n_tiles, tile_body, jnp.zeros((n_tiles * TILE_PIX, 4)))
+    return film[:n_pix].reshape(h, w, 4)
 
 
 def regen_applicable(scene: Scene, mode: str) -> bool:
     from ..scene.ir import FILTER_BOX, SENSOR_IRRADIANCEMETER, SENSOR_THINLENS
     # thinlens/irradiancemeter need an extra 2d sample per camera ray that
     # the regen seeding does not draw
+    from ..scene.ir import FILTER_TENT
     return (mode == "primal"
             and scene.integrator in ("volpath", "volpathmis", "biovolpath",
                                      "biovolpath06")
-            and scene.rfilter == FILTER_BOX
+            and scene.rfilter in (FILTER_BOX, FILTER_TENT)
             and scene.sensor.stype not in (SENSOR_THINLENS,
                                            SENSOR_IRRADIANCEMETER))

@@ -46,3 +46,50 @@ def test_regen_auto_selected():
     assert not regen.regen_applicable(scene, "ad")
     assert not regen.regen_applicable(
         scene.replace(integrator="path"), "primal")
+
+
+def test_tiled_film_matches_untiled(monkeypatch):
+    """Pixel-tiled regen (large-film mode) covers the same (pixel, sample)
+    set with the same counter-seeded streams, so the image is identical to
+    the single-tile render."""
+    import numpy as np
+
+    import liverrenderer_tpu as lr
+    from liverrenderer_tpu.integrators import regen
+
+    d = lr.cornell_box()
+    d["integrator"] = {"type": "volpath", "max_depth": 3}
+    d["sensor"]["film"] = {"type": "hdrfilm", "width": 16, "height": 16,
+                           "rfilter": {"type": "box"}}
+    scene = lr.load_dict(d)
+
+    img_whole = np.asarray(regen.render_regen(scene, 0, 4))
+    monkeypatch.setattr(regen, "TILE_PIX", 64)   # 16x16 -> 4 tiles
+    regen.render_regen._clear_cache()
+    img_tiled = np.asarray(regen.render_regen(scene, 0, 4))
+    monkeypatch.undo()
+    regen.render_regen._clear_cache()
+    np.testing.assert_allclose(img_tiled, img_whole, rtol=1e-5, atol=1e-6)
+
+
+def test_tent_filter_regen_matches_fixed():
+    """Tent-filter regen splats the same 2x2 filter taps as the fixed
+    wavefront (GlissonCapsule/Parenchyma rfilter config)."""
+    import numpy as np
+
+    import liverrenderer_tpu as lr
+    from liverrenderer_tpu.integrators import regen
+    from liverrenderer_tpu.integrators.common import _render_jit
+    from liverrenderer_tpu import film as film_mod
+
+    d = lr.cornell_box()
+    d["integrator"] = {"type": "volpath", "max_depth": 3}
+    d["sensor"]["film"] = {"type": "hdrfilm", "width": 16, "height": 16,
+                           "rfilter": {"type": "tent"}}
+    scene = lr.load_dict(d)
+    assert regen.regen_applicable(scene, "primal")
+
+    acc_r = np.asarray(regen.render_regen(scene, 0, 4))
+    img_r = np.asarray(film_mod.develop(acc_r))
+    img_f = np.asarray(_render_jit(scene, 0, 4, 4, "primal"))  # developed
+    np.testing.assert_allclose(img_r, img_f, rtol=2e-4, atol=2e-5)
