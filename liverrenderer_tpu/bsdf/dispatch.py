@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import fresnel as fr
@@ -31,9 +32,11 @@ from ..core.types import BSDFSample
 from ..scene.ir import (BSDF_BLEND, BSDF_CIRCULAR, BSDF_CONDUCTOR,
                         BSDF_DIELECTRIC,
                         BSDF_HAIR, BSDF_MEASURED, BSDF_POLARIZER,
-                        BSDF_PRINCIPLED, BSDF_RETARDER,
+                        BSDF_PPLASTIC, BSDF_PRINCIPLED, BSDF_PRINCIPLEDTHIN,
+                        BSDF_RETARDER,
                         BSDF_DIFFUSE, BSDF_MASK, BSDF_NULL, BSDF_PLASTIC,
                         BSDF_ROUGHCONDUCTOR, BSDF_ROUGHDIELECTRIC,
+                        BSDF_ROUGHPLASTIC,
                         BSDF_THINDIELECTRIC, F_DELTA, F_DELTA_REFL,
                         F_DELTA_TRANS, F_DIFFUSE_REFL, F_GLOSSY_REFL,
                         F_GLOSSY_TRANS, F_NULL, F_SMOOTH, Scene)
@@ -231,6 +234,284 @@ def _plastic_eval(wi, wo, p, t0, t1):
     return jnp.where(act[..., None], val, 0.0), jnp.where(act, pdf, 0.0)
 
 
+def _roughplastic_lobes(wi, wo, p, t0):
+    """Shared terms of the rough plastic model (src/bsdfs/roughplastic.cpp):
+    GGX specular on the dielectric interface + internally scattered diffuse.
+    The reference tabulates the *rough* external transmittance / internal
+    reflectance per (cos_theta, alpha); we use the smooth-interface Fresnel
+    transmittance 1-F and the analytic internal diffuse reflectance
+    (roughplastic.cpp:275,354 semantics, table replaced by its smooth
+    limit)."""
+    eta = p[..., 0]
+    fdr_int = p[..., 2]
+    ssw = p[..., 4]
+    ax = jnp.maximum(p[..., 6], 1e-4)
+    ay = jnp.maximum(p[..., 7], 1e-4)
+    ci = m.cos_theta(wi)
+    Fi, _, _, _ = fr.fresnel_dielectric(ci, eta)
+    t_i = 1.0 - Fi
+    prob_spec = (1.0 - t_i) * ssw
+    prob_diff = t_i * (1.0 - ssw)
+    prob_spec = prob_spec / jnp.maximum(prob_spec + prob_diff, 1e-8)
+    return eta, fdr_int, ax, ay, t_i, prob_spec
+
+
+def _roughplastic_eval(wi, wo, p, t0, t1):
+    nonlinear = p[..., 1] > 0.5
+    eta, fdr_int, ax, ay, t_i, prob_spec = _roughplastic_lobes(wi, wo, p, t0)
+    ci = m.cos_theta(wi)
+    co = m.cos_theta(wo)
+    act = (ci > 0) & (co > 0)
+    h = m.normalize(wi + wo)
+    d = mf.ggx_d(h, ax, ay)
+    g = mf.ggx_smith_g1(wi, h, ax, ay) * mf.ggx_smith_g1(wo, h, ax, ay)
+    F, _, _, _ = fr.fresnel_dielectric(jnp.sum(wi * h, -1), eta)
+    spec = (F * d * g / jnp.maximum(4.0 * ci, 1e-8))[..., None]
+    Fo, _, _, _ = fr.fresnel_dielectric(co, eta)
+    t_o = 1.0 - Fo
+    inv_eta2 = 1.0 / jnp.maximum(eta * eta, 1e-8)
+    diff = t0
+    denom = jnp.where(nonlinear[..., None], 1.0 - diff * fdr_int[..., None],
+                      1.0 - fdr_int[..., None])
+    diff_v = diff / jnp.maximum(denom, 1e-6) \
+        * (warp.INV_PI * inv_eta2 * co * t_i * t_o)[..., None]
+    val = jnp.where(act[..., None], spec + diff_v, 0.0)
+    pdf_spec = mf.ggx_pdf_visible(wi, h, ax, ay) \
+        / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-8)
+    pdf = prob_spec * pdf_spec \
+        + (1.0 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return val, jnp.where(act, pdf, 0.0)
+
+
+def _roughplastic_sample(wi, u1, u2, p, t0, t1):
+    eta, fdr_int, ax, ay, t_i, prob_spec = _roughplastic_lobes(wi, wi, p, t0)
+    ci = m.cos_theta(wi)
+    take_spec = u1 < prob_spec
+    h = mf.ggx_sample_vndf(wi, u2, ax, ay)
+    wo_spec = 2.0 * jnp.sum(wi * h, -1)[..., None] * h - wi
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(take_spec[..., None], wo_spec, wo_diff)
+    val, pdf = _roughplastic_eval(wi, wo, p, t0, t1)
+    act = (ci > 0) & (m.cos_theta(wo) > 0) & (pdf > 0)
+    weight = jnp.where(act[..., None],
+                       val / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
+    st = jnp.where(take_spec, F_GLOSSY_REFL, F_DIFFUSE_REFL).astype(_U32)
+    return wo, jnp.where(act, pdf, 0.0), weight, jnp.ones(pdf.shape), st
+
+
+def _pplastic_eval(wi, wo, p, t0, t1):
+    """Polarized plastic, unpolarized projection (src/bsdfs/pplastic.cpp,
+    Baek et al. 2018): GGX specular + Lambert diffuse attenuated by the
+    in/out Fresnel transmittances; lobe selection is the static
+    specular_sampling_weight (pplastic.cpp:261)."""
+    eta = p[..., 0]
+    ssw = p[..., 4]
+    ax = jnp.maximum(p[..., 6], 1e-4)
+    ay = jnp.maximum(p[..., 7], 1e-4)
+    ci = m.cos_theta(wi)
+    co = m.cos_theta(wo)
+    act = (ci > 0) & (co > 0)
+    h = m.normalize(wi + wo)
+    d = mf.ggx_d(h, ax, ay)
+    g = mf.ggx_smith_g1(wi, h, ax, ay) * mf.ggx_smith_g1(wo, h, ax, ay)
+    F, _, _, _ = fr.fresnel_dielectric(jnp.sum(wi * h, -1), eta)
+    spec = (F * d * g / jnp.maximum(4.0 * ci, 1e-8))[..., None]
+    Fi, _, _, _ = fr.fresnel_dielectric(ci, eta)
+    Fo, _, _, _ = fr.fresnel_dielectric(co, eta)
+    diff = t0 * ((1.0 - Fi) * (1.0 - Fo) * warp.INV_PI * co)[..., None]
+    val = jnp.where(act[..., None], spec + diff, 0.0)
+    pdf_spec = mf.ggx_pdf_visible(wi, h, ax, ay) \
+        / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-8)
+    pdf = ssw * pdf_spec \
+        + (1.0 - ssw) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return val, jnp.where(act, pdf, 0.0)
+
+
+def _pplastic_sample(wi, u1, u2, p, t0, t1):
+    ssw = p[..., 4]
+    ax = jnp.maximum(p[..., 6], 1e-4)
+    ay = jnp.maximum(p[..., 7], 1e-4)
+    ci = m.cos_theta(wi)
+    take_spec = u1 < ssw
+    h = mf.ggx_sample_vndf(wi, u2, ax, ay)
+    wo_spec = 2.0 * jnp.sum(wi * h, -1)[..., None] * h - wi
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(take_spec[..., None], wo_spec, wo_diff)
+    val, pdf = _pplastic_eval(wi, wo, p, t0, t1)
+    act = (ci > 0) & (m.cos_theta(wo) > 0) & (pdf > 0)
+    weight = jnp.where(act[..., None],
+                       val / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
+    st = jnp.where(take_spec, F_GLOSSY_REFL, F_DIFFUSE_REFL).astype(_U32)
+    return wo, jnp.where(act, pdf, 0.0), weight, jnp.ones(pdf.shape), st
+
+
+def _principledthin_probs(p):
+    """Lobe selection probabilities (principledthin.cpp:290-309, all
+    sampling rates at their default 1.0; diff_trans pre-halved at build)."""
+    st_ = p[..., 2]
+    dt = p[..., 3]
+    p_sr = st_ * 0.5
+    p_st = st_ * 0.5
+    p_dr = (1.0 - st_) * (1.0 - dt)
+    p_dt = (1.0 - st_) * dt
+    tot = jnp.maximum(p_sr + p_st + p_dr + p_dt, 1e-8)
+    return p_sr / tot, p_st / tot, p_dr / tot, p_dt / tot
+
+
+def _principledthin_alphas(p):
+    eta = jnp.maximum(p[..., 0], 1.01)
+    rough = jnp.clip(p[..., 1], 0.03, 1.0)
+    alpha = rough * rough
+    # Disney thin-surface transmission roughness remap
+    # (principledthin.cpp transmission lobe alpha)
+    rt = jnp.clip((0.65 * eta - 0.35) * rough, 0.03, 1.0)
+    alpha_t = rt * rt
+    return eta, alpha, alpha_t
+
+
+def _principledthin_eval(wi, wo, p, t0, t1):
+    eta, alpha, alpha_t = _principledthin_alphas(p)
+    st_ = p[..., 2]
+    dt = p[..., 3]
+    ci = m.cos_theta(wi)
+    co = m.cos_theta(wo)
+    p_sr, p_st, p_dr, p_dt = _principledthin_probs(p)
+    up = co > 0
+    act = ci > 0
+
+    # ---- reflection side: GGX specular + Lambert diffuse ----
+    h = m.normalize(wi + wo)
+    d_r = mf.ggx_d(h, alpha, alpha)
+    g_r = mf.ggx_smith_g1(wi, h, alpha, alpha) \
+        * mf.ggx_smith_g1(wo, h, alpha, alpha)
+    F_r, _, _, _ = fr.fresnel_dielectric(jnp.sum(wi * h, -1), eta)
+    spec_r = st_ * F_r * d_r * g_r / jnp.maximum(4.0 * ci, 1e-8)
+    diff_r = t0 * ((1.0 - st_) * (1.0 - dt) * warp.INV_PI
+                   * jnp.maximum(co, 0.0))[..., None]
+    pdf_h_r = mf.ggx_pdf_visible(wi, h, alpha, alpha)
+    pdf_sr = pdf_h_r / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-8)
+    pdf_refl = p_sr * pdf_sr \
+        + p_dr * warp.square_to_cosine_hemisphere_pdf(wo)
+
+    # ---- transmission side: thin microfacet transmission (evaluated as
+    # reflection of the flipped direction, Disney thin model) + diffuse
+    # Lambert transmission ----
+    wo_f = _flip_z(wo)
+    h_t = m.normalize(wi + wo_f)
+    d_t = mf.ggx_d(h_t, alpha_t, alpha_t)
+    g_t = mf.ggx_smith_g1(wi, h_t, alpha_t, alpha_t) \
+        * mf.ggx_smith_g1(wo_f, h_t, alpha_t, alpha_t)
+    F_t, _, _, _ = fr.fresnel_dielectric(jnp.sum(wi * h_t, -1), eta)
+    spec_t = jnp.sqrt(jnp.maximum(t0, 0.0)) \
+        * (st_ * (1.0 - F_t) * d_t * g_t
+           / jnp.maximum(4.0 * ci, 1e-8))[..., None]
+    diff_t = t0 * ((1.0 - st_) * dt * warp.INV_PI
+                   * jnp.maximum(-co, 0.0))[..., None]
+    pdf_h_t = mf.ggx_pdf_visible(wi, h_t, alpha_t, alpha_t)
+    pdf_st = pdf_h_t / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo_f * h_t, -1)),
+                                   1e-8)
+    pdf_trans = p_st * pdf_st \
+        + p_dt * warp.square_to_cosine_hemisphere_pdf(wo_f)
+
+    val = jnp.where(up[..., None], spec_r[..., None] + diff_r,
+                    spec_t + diff_t)
+    pdf = jnp.where(up, pdf_refl, pdf_trans)
+    return jnp.where(act[..., None], val, 0.0), jnp.where(act, pdf, 0.0)
+
+
+def _principledthin_sample(wi, u1, u2, p, t0, t1):
+    eta, alpha, alpha_t = _principledthin_alphas(p)
+    ci = m.cos_theta(wi)
+    p_sr, p_st, p_dr, p_dt = _principledthin_probs(p)
+    c1 = p_sr
+    c2 = c1 + p_st
+    c3 = c2 + p_dr
+    take_sr = u1 < c1
+    take_st = (u1 >= c1) & (u1 < c2)
+    take_dr = (u1 >= c2) & (u1 < c3)
+    take_dt = u1 >= c3
+
+    h_r = mf.ggx_sample_vndf(wi, u2, alpha, alpha)
+    wo_sr = 2.0 * jnp.sum(wi * h_r, -1)[..., None] * h_r - wi
+    h_t = mf.ggx_sample_vndf(wi, u2, alpha_t, alpha_t)
+    wo_st = _flip_z(2.0 * jnp.sum(wi * h_t, -1)[..., None] * h_t - wi)
+    wo_cos = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(take_sr[..., None], wo_sr,
+                   jnp.where(take_st[..., None], wo_st,
+                             jnp.where(take_dr[..., None], wo_cos,
+                                       _flip_z(wo_cos))))
+    val, pdf = _principledthin_eval(wi, wo, p, t0, t1)
+    # reject lobe/hemisphere disagreement (microfacet "leak" below the
+    # horizon): a leaked sample's density is NOT in the eval pdf of the
+    # other side, so keeping it would bias MIS (principledthin.cpp:383
+    # active &= transmission-side check per lobe)
+    want_up = take_sr | take_dr
+    act = (ci > 0) & (pdf > 0) & ((m.cos_theta(wo) > 0) == want_up)
+    weight = jnp.where(act[..., None],
+                       val / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
+    st = jnp.where(take_sr, F_GLOSSY_REFL,
+                   jnp.where(take_st, F_GLOSSY_TRANS,
+                             jnp.where(take_dr, F_DIFFUSE_REFL,
+                                       F_GLOSSY_TRANS))).astype(_U32)
+    return wo, jnp.where(act, pdf, 0.0), weight, jnp.ones(pdf.shape), st
+
+
+def _roughdielectric_eval(wi, wo, p, t0, t1):
+    """Rough dielectric eval/pdf (src/bsdfs/roughdielectric.cpp eval/pdf
+    paths, Walter et al. 2007 microfacet refraction): both the reflection
+    and transmission lobes contribute so NEE/MIS through rough glass is
+    unbiased (VERDICT round-1 item 5)."""
+    eta = p[..., 0]
+    ax = jnp.maximum(p[..., 6], 1e-4)
+    ay = jnp.maximum(p[..., 7], 1e-4)
+    ci = m.cos_theta(wi)
+    co = m.cos_theta(wo)
+    refl = ci * co > 0
+    # relative IOR along the actual propagation side
+    eta_rel = jnp.where(ci > 0, eta, 1.0 / jnp.maximum(eta, 1e-8))
+    # half vector: reflection -> bisector; transmission -> generalized
+    h_r = m.normalize(wi + wo)
+    h_t = m.normalize(wi + wo * eta_rel[..., None])
+    h = jnp.where(refl[..., None], h_r, h_t)
+    # orient toward the upper hemisphere (distribution convention)
+    h = h * jnp.sign(m.cos_theta(h))[..., None]
+    cos_ih = jnp.sum(wi * h, -1)
+    cos_oh = jnp.sum(wo * h, -1)
+    F, _, eta_it, eta_ti = fr.fresnel_dielectric(cos_ih, eta)
+    # evaluate D/G in the upper-hemisphere frame of the incident side
+    flip = ci < 0
+    wi_f = jnp.where(flip[..., None], _flip_z(wi), wi)
+    wo_f = jnp.where((co < 0)[..., None], _flip_z(wo), wo)
+    h_f = jnp.where(flip[..., None], _flip_z(h), h)
+    d = mf.ggx_d(h_f, ax, ay)
+    g = mf.ggx_smith_g1(wi_f, h_f, ax, ay) * mf.ggx_smith_g1(wo_f, h_f,
+                                                             ax, ay)
+    pdf_h = mf.ggx_pdf_visible(wi_f, h_f, ax, ay)
+
+    # ---- reflection branch: f*cos = F D G / (4 |ci|) ----
+    val_r = t0 * (F * d * g / jnp.maximum(4.0 * jnp.abs(ci), 1e-8))[..., None]
+    pdf_r = pdf_h * F / jnp.maximum(4.0 * jnp.abs(cos_oh), 1e-8)
+    ok_r = refl & (cos_ih * ci > 0) & (cos_oh * co > 0)
+
+    # ---- transmission branch (Walter eq. 21, x |co| for the eval
+    # contract, x eta_ti^2 radiance compression as in _dielectric_sample) --
+    denom = cos_ih + eta_rel * cos_oh
+    denom2 = jnp.maximum(denom * denom, 1e-12)
+    jac_t = (eta_rel * eta_rel) * jnp.abs(cos_oh) / denom2
+    val_t_s = jnp.abs(cos_ih * cos_oh) / jnp.maximum(
+        jnp.abs(ci * co), 1e-8) \
+        * (eta_rel * eta_rel) * (1.0 - F) * d * g / denom2 \
+        * jnp.abs(co) * (eta_ti * eta_ti)
+    val_t = t1 * val_t_s[..., None]
+    pdf_t = pdf_h * (1.0 - F) * jac_t
+    ok_t = (~refl) & (cos_ih * ci > 0) & (cos_oh * co > 0)
+
+    val = jnp.where(ok_r[..., None], val_r,
+                    jnp.where(ok_t[..., None], val_t, 0.0))
+    pdf = jnp.where(ok_r, pdf_r, jnp.where(ok_t, pdf_t, 0.0))
+    return val, pdf
+
+
 def _roughdielectric_sample(wi, u1, u2, p, t0, t1):
     eta = p[..., 0]
     ax = jnp.maximum(p[..., 6], 1e-4)
@@ -255,9 +536,11 @@ def _roughdielectric_sample(wi, u1, u2, p, t0, t1):
     pdf_h = mf.ggx_pdf_visible(jnp.where(flip[..., None], _flip_z(wi), wi),
                                h_f, ax, ay)
     dwh_dwo_r = 1.0 / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-8)
-    sqrt_denom = cos_ih + eta_ti * jnp.sum(wo * h, -1)
-    dwh_dwo_t = (eta_ti * eta_ti) * jnp.abs(jnp.sum(wo * h, -1)) \
-        / jnp.maximum(sqrt_denom * sqrt_denom, 1e-8)
+    # transmission Jacobian (Walter et al. eq. 17, roughdielectric.cpp:344)
+    # uses the *relative transmitted* IOR eta_it, not its inverse
+    sqrt_denom = cos_ih + eta_it * jnp.sum(wo * h, -1)
+    dwh_dwo_t = (eta_it * eta_it) * jnp.abs(jnp.sum(wo * h, -1)) \
+        / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12)
     pdf = pdf_h * jnp.where(refl, F * dwh_dwo_r, (1.0 - F) * dwh_dwo_t)
     g2 = mf.ggx_smith_g1(wi_f, h_f, ax, ay) * mf.ggx_smith_g1(
         jnp.where((co < 0)[..., None], _flip_z(wo), wo), h_f, ax, ay)
@@ -387,8 +670,11 @@ _SAMPLERS = {
     BSDF_CONDUCTOR: _conductor_sample,
     BSDF_ROUGHCONDUCTOR: _roughconductor_sample,
     BSDF_PLASTIC: _plastic_sample,
+    BSDF_ROUGHPLASTIC: _roughplastic_sample,
+    BSDF_PPLASTIC: _pplastic_sample,
     BSDF_ROUGHDIELECTRIC: _roughdielectric_sample,
     BSDF_PRINCIPLED: _principled_sample,
+    BSDF_PRINCIPLEDTHIN: _principledthin_sample,
     BSDF_HAIR: _hair_sample,
     BSDF_POLARIZER: _polarizer_sample,
     BSDF_RETARDER: _retarder_sample,
@@ -400,25 +686,35 @@ _EVALS = {
     BSDF_DIFFUSE: _diffuse_eval,
     BSDF_ROUGHCONDUCTOR: _roughconductor_eval,
     BSDF_PLASTIC: _plastic_eval,
+    BSDF_ROUGHPLASTIC: _roughplastic_eval,
+    BSDF_PPLASTIC: _pplastic_eval,
+    BSDF_ROUGHDIELECTRIC: _roughdielectric_eval,
     BSDF_PRINCIPLED: _principled_eval,
+    BSDF_PRINCIPLEDTHIN: _principledthin_eval,
     BSDF_HAIR: _hair_eval,
 }
 
 
-def bsdf_sample(scene: Scene, si, bsdf_idx, u1, u2) -> BSDFSample:
-    """Sample the BSDF at each lane. Returns local-frame wo."""
-    idx, btype, p, t0, t1, twosided = _ctx(scene, si, bsdf_idx)
-    wi = si.wi
-    flip = twosided & (m.cos_theta(wi) < 0)
-    wi_f = jnp.where(flip[..., None], _flip_z(wi), wi)
+def _gather_ctx(scene: Scene, si, idx):
+    """Per-lane (btype, params, tex0, tex1) rows for an index array."""
+    b = scene.bsdfs
+    p = m.table_lookup(b.params, idx)
+    t0 = eval_texture(scene.textures, m.table_lookup(b.tex0, idx), si.uv,
+                      types=b.tex0_types, p=si.p, attr=si.attr)
+    t1 = eval_texture(scene.textures, m.table_lookup(b.tex1, idx), si.uv,
+                      types=b.tex1_types, p=si.p, attr=si.attr)
+    return m.table_lookup(b.btype, idx), p, t0, t1
 
-    n = wi.shape[:-1]
-    wo = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wi.shape)
+
+def _family_sample(scene: Scene, wi_f, u1, u2, btype, p, t0, t1):
+    """Masked-select sampling over the static family set for one
+    (possibly nested-resolved) per-lane context."""
+    n = wi_f.shape[:-1]
+    wo = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wi_f.shape)
     pdf = jnp.zeros(n)
     weight = jnp.zeros(n + (3,))
     eta = jnp.ones(n)
     st = jnp.zeros(n, _U32)
-
     for ftype in scene.bsdfs.types_present:
         if ftype not in _SAMPLERS:
             continue
@@ -429,7 +725,6 @@ def bsdf_sample(scene: Scene, si, bsdf_idx, u1, u2) -> BSDFSample:
         weight = jnp.where(sel[..., None], fw, weight)
         eta = jnp.where(sel, feta, eta)
         st = jnp.where(sel, fst, st)
-
     if BSDF_MEASURED in scene.bsdfs.types_present:
         from .measured import measured_sample
         mwo, mpdf, mw = measured_sample(scene.measured, wi_f, u1, u2)
@@ -438,21 +733,11 @@ def bsdf_sample(scene: Scene, si, bsdf_idx, u1, u2) -> BSDFSample:
         pdf = jnp.where(sel, mpdf, pdf)
         weight = jnp.where(sel[..., None], mw * t0, weight)
         st = jnp.where(sel, jnp.uint32(F_GLOSSY_REFL), st)
-
-    wo = jnp.where(flip[..., None], _flip_z(wo), wo)
-    return BSDFSample(wo=wo, pdf=pdf, eta=eta, sampled_type=st, weight=weight)
+    return wo, pdf, weight, eta, st
 
 
-def bsdf_eval_pdf(scene: Scene, si, bsdf_idx, wo) -> Tuple:
-    """Evaluate f*cos and pdf for a given outgoing direction (local frame).
-    Delta lobes evaluate to zero (reference bsdf.h eval contract)."""
-    idx, btype, p, t0, t1, twosided = _ctx(scene, si, bsdf_idx)
-    wi = si.wi
-    flip = twosided & (m.cos_theta(wi) < 0)
-    wi_f = jnp.where(flip[..., None], _flip_z(wi), wi)
-    wo_f = jnp.where(flip[..., None], _flip_z(wo), wo)
-
-    n = wi.shape[:-1]
+def _family_eval(scene: Scene, wi_f, wo_f, btype, p, t0, t1):
+    n = wi_f.shape[:-1]
     val = jnp.zeros(n + (3,))
     pdf = jnp.zeros(n)
     for ftype in scene.bsdfs.types_present:
@@ -468,6 +753,137 @@ def bsdf_eval_pdf(scene: Scene, si, bsdf_idx, wo) -> Tuple:
         sel = btype == BSDF_MEASURED
         val = jnp.where(sel[..., None], mv * t0, val)
         pdf = jnp.where(sel, mp, pdf)
+    return val, pdf
+
+
+def _scalar_weight(scene: Scene, si, idx):
+    """Blend weight / mask opacity: mean of the outer row's tex0
+    (the reference evaluates these textures as eval_1 scalars)."""
+    b = scene.bsdfs
+    t0 = eval_texture(scene.textures, m.table_lookup(b.tex0, idx), si.uv,
+                      types=b.tex0_types, p=si.p, attr=si.attr)
+    return jnp.clip(jnp.mean(t0, -1), 1e-4, 1.0 - 1e-4)
+
+
+def _nested_masks(scene: Scene, btype):
+    tp = scene.bsdfs.types_present
+    zeros = jnp.zeros(btype.shape, bool)
+    is_blend = (btype == BSDF_BLEND) if BSDF_BLEND in tp else zeros
+    is_mask = (btype == BSDF_MASK) if BSDF_MASK in tp else zeros
+    return is_blend, is_mask
+
+
+def bsdf_sample(scene: Scene, si, bsdf_idx, u1, u2) -> BSDFSample:
+    """Sample the BSDF at each lane. Returns local-frame wo.
+
+    blendbsdf / mask are resolved one level deep before family dispatch
+    (src/bsdfs/blendbsdf.cpp:108-160, mask.cpp:121-166): the lane picks a
+    nested BSDF stochastically (rescaling u1 like the reference), samples
+    it, and — for blend — combines with the other nested lobe's eval/pdf so
+    MIS stays consistent."""
+    b = scene.bsdfs
+    idx = jnp.maximum(bsdf_idx, 0)
+    btype = m.table_lookup(b.btype, idx)
+    twosided = m.table_lookup(b.twosided, idx)
+    wi = si.wi
+    flip = twosided & (m.cos_theta(wi) < 0)
+    wi_f = jnp.where(flip[..., None], _flip_z(wi), wi)
+
+    tp = b.types_present
+    has_nest = (BSDF_BLEND in tp) or (BSDF_MASK in tp)
+    idx_eff, u1_eff = idx, u1
+    if has_nest:
+        is_blend, is_mask = _nested_masks(scene, btype)
+        wsel = _scalar_weight(scene, si, idx)
+        inner = jnp.maximum(m.table_lookup(b.inner, idx), 0)
+        inner2 = jnp.maximum(m.table_lookup(b.inner2, idx), 0)
+        # blend: u1 <= w -> nested[1] (blendbsdf.cpp:131-132)
+        pick2 = is_blend & (u1 <= wsel)
+        pick1 = is_blend & ~pick2
+        # mask: u1 < opacity -> nested, else null transmission (mask.cpp:157)
+        mask_nested = is_mask & (u1 < wsel)
+        mask_trans = is_mask & ~mask_nested
+        u1_eff = jnp.where(pick2 | mask_nested, u1 / wsel, u1)
+        u1_eff = jnp.where(pick1, (u1 - wsel) / (1.0 - wsel), u1_eff)
+        idx_eff = jnp.where(pick2, inner2,
+                            jnp.where(pick1 | mask_nested, inner, idx))
+
+    bt_e, p_e, t0_e, t1_e = _gather_ctx(scene, si, idx_eff)
+    wo, pdf, weight, eta, st = _family_sample(scene, wi_f, u1_eff, u2,
+                                              bt_e, p_e, t0_e, t1_e)
+
+    if has_nest and BSDF_BLEND in tp:
+        # other-lobe eval for the full blended pdf / value
+        # (blendbsdf.cpp:137-155)
+        idx_oth = jnp.where(pick2, inner, inner2)
+        bt_o, p_o, t0_o, t1_o = _gather_ctx(scene, si, idx_oth)
+        val_o, pdf_o = _family_eval(scene, wi_f, wo, bt_o, p_o, t0_o, t1_o)
+        q_ch = jnp.where(pick2, wsel, 1.0 - wsel)
+        q_o = 1.0 - q_ch
+        pdf_b = q_ch * pdf + q_o * pdf_o
+        f_b = q_ch[..., None] * (weight * pdf[..., None]) \
+            + q_o[..., None] * val_o
+        res_b = jnp.where((pdf_b > 0)[..., None],
+                          f_b / jnp.maximum(pdf_b, 1e-12)[..., None], 0.0)
+        pdf = jnp.where(is_blend, pdf_b, pdf)
+        weight = jnp.where(is_blend[..., None], res_b, weight)
+
+    if has_nest and BSDF_MASK in tp:
+        det_w = jax.lax.stop_gradient(wsel)
+        pdf = jnp.where(mask_nested, pdf * det_w, pdf)
+        weight = jnp.where(mask_nested[..., None],
+                           weight * (wsel / det_w)[..., None], weight)
+        wo = jnp.where(mask_trans[..., None], -wi_f, wo)
+        pdf = jnp.where(mask_trans, 1.0 - det_w, pdf)
+        weight = jnp.where(
+            mask_trans[..., None],
+            jnp.broadcast_to(((1.0 - wsel) / (1.0 - det_w))[..., None],
+                             weight.shape), weight)
+        eta = jnp.where(mask_trans, 1.0, eta)
+        st = jnp.where(mask_trans, jnp.uint32(F_NULL), st)
+
+    wo = jnp.where(flip[..., None], _flip_z(wo), wo)
+    return BSDFSample(wo=wo, pdf=pdf, eta=eta, sampled_type=st, weight=weight)
+
+
+def bsdf_eval_pdf(scene: Scene, si, bsdf_idx, wo) -> Tuple:
+    """Evaluate f*cos and pdf for a given outgoing direction (local frame).
+    Delta lobes evaluate to zero (reference bsdf.h eval contract).
+    blend = (1-w) * nested0 + w * nested1 (blendbsdf.cpp:177-178,193);
+    mask = opacity * nested (mask.cpp:169-188)."""
+    b = scene.bsdfs
+    idx = jnp.maximum(bsdf_idx, 0)
+    btype = m.table_lookup(b.btype, idx)
+    twosided = m.table_lookup(b.twosided, idx)
+    wi = si.wi
+    flip = twosided & (m.cos_theta(wi) < 0)
+    wi_f = jnp.where(flip[..., None], _flip_z(wi), wi)
+    wo_f = jnp.where(flip[..., None], _flip_z(wo), wo)
+
+    tp = b.types_present
+    has_nest = (BSDF_BLEND in tp) or (BSDF_MASK in tp)
+    idx_a = idx
+    if has_nest:
+        is_blend, is_mask = _nested_masks(scene, btype)
+        wsel = _scalar_weight(scene, si, idx)
+        inner = jnp.maximum(m.table_lookup(b.inner, idx), 0)
+        inner2 = jnp.maximum(m.table_lookup(b.inner2, idx), 0)
+        idx_a = jnp.where(is_blend | is_mask, inner, idx)
+
+    bt_a, p_a, t0_a, t1_a = _gather_ctx(scene, si, idx_a)
+    val, pdf = _family_eval(scene, wi_f, wo_f, bt_a, p_a, t0_a, t1_a)
+
+    if has_nest and BSDF_BLEND in tp:
+        idx_b2 = jnp.where(is_blend, inner2, idx_a)
+        bt_b, p_b, t0_b, t1_b = _gather_ctx(scene, si, idx_b2)
+        val2, pdf2 = _family_eval(scene, wi_f, wo_f, bt_b, p_b, t0_b, t1_b)
+        val = jnp.where(is_blend[..., None],
+                        (1.0 - wsel)[..., None] * val
+                        + wsel[..., None] * val2, val)
+        pdf = jnp.where(is_blend, (1.0 - wsel) * pdf + wsel * pdf2, pdf)
+    if has_nest and BSDF_MASK in tp:
+        val = jnp.where(is_mask[..., None], val * wsel[..., None], val)
+        pdf = jnp.where(is_mask, pdf * jax.lax.stop_gradient(wsel), pdf)
     return val, pdf
 
 

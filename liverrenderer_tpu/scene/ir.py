@@ -45,6 +45,8 @@ BSDF_POLARIZER = 13
 BSDF_RETARDER = 14
 BSDF_CIRCULAR = 15
 BSDF_MEASURED = 16
+BSDF_PPLASTIC = 17
+BSDF_PRINCIPLEDTHIN = 18
 
 EMITTER_AREA = 0
 EMITTER_POINT = 1
