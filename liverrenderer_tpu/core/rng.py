@@ -70,6 +70,83 @@ def _sobol2(i: Array, scramble: Array) -> Array:
     return r
 
 
+def _pow2_mask(l: int) -> int:
+    w = 1
+    while w < l:
+        w <<= 1
+    return w - 1
+
+
+def _kensler_permute(i: Array, l: int, p: Array, rounds: int = 10) -> Array:
+    """Stateless random permutation of [0, l) (Kensler 2013, "Correlated
+    Multi-Jittered Sampling", listing 5 — the same construction the
+    reference's multijitter.cpp relies on).  Cycle-walks a keyed bijection
+    of the next-pow2 domain; each walk step accepts with p >= 1/2, so
+    `rounds` fixed masked iterations resolve all lanes w.h.p. (stragglers
+    fall back to a modulo, an O(2^-rounds) bias)."""
+    if l <= 1:
+        return jnp.zeros_like(i)
+    w = _U32(_pow2_mask(l))
+    p = p.astype(_U32)
+
+    def h(i):
+        i = i ^ p
+        i = i * _U32(0xE170893D)
+        i = i ^ (p >> 16)
+        i = i ^ ((i & w) >> 4)
+        i = i ^ (p >> 8)
+        i = i * _U32(0x0929EB3F)
+        i = i ^ (p >> 23)
+        i = i ^ ((i & w) >> 1)
+        i = i * (_U32(1) | (p >> 27))
+        i = i * _U32(0x6935FA69)
+        i = i ^ ((i & w) >> 11)
+        # odd multiplier (an even one is not invertible mod 2^32, which
+        # breaks the masked-domain bijection the cycle walk relies on)
+        i = i * _U32(0x74DCCA25)
+        i = i ^ (p >> 2)
+        i = i * _U32(0x9E501CC3)
+        i = i ^ ((i & w) >> 2)
+        i = i * _U32(0xC860A3DF)
+        i = i & w
+        i = i ^ (i >> 5)
+        return i
+
+    cur = i.astype(_U32)
+    out = jnp.zeros_like(cur)
+    ok = jnp.zeros(cur.shape, bool)
+    for _ in range(rounds):
+        cur = h(cur)
+        accept = (~ok) & (cur < _U32(l))
+        out = jnp.where(accept, cur, out)
+        ok = ok | accept
+    out = jnp.where(ok, out, cur % _U32(l))
+    return (out + p) % _U32(l)
+
+
+def _smallest_prime_ge(n: int) -> int:
+    def is_prime(k):
+        if k < 2:
+            return False
+        d = 2
+        while d * d <= k:
+            if k % d == 0:
+                return False
+            d += 1
+        return True
+    while not is_prime(n):
+        n += 1
+    return n
+
+
+def _cmj_factor(spp: int):
+    """m x n = spp with m as close to sqrt(spp) as divisibility allows."""
+    m = max(1, int(round(spp ** 0.5)))
+    while spp % m:
+        m -= 1
+    return m, spp // m
+
+
 @struct.dataclass
 class Sampler:
     """Per-lane sampler state: (seed, dim-counter, sample index).
@@ -110,13 +187,91 @@ class Sampler:
         y = _to_unit_float(_sobol2(i, scr2))
         return x, y
 
+    def _cmj_2d(self, h):
+        """Correlated multi-jittered 2D pattern (Kensler 2013 eq. at
+        listing 6; reference src/samplers/multijitter.cpp): the spp samples
+        of a pixel are one-per-cell on the m x n grid AND one-per-stratum
+        in both 1D projections."""
+        spp = max(self.spp, 1)
+        m_, n_ = _cmj_factor(spp)
+        key = h[..., 3]
+        s = _kensler_permute(self.samp, spp, key * _U32(0x51633E2D))
+        sx = _kensler_permute(s % _U32(m_), m_, key * _U32(0x68BC21EB))
+        sy = _kensler_permute(s // _U32(m_), n_, key * _U32(0x02E5BE93))
+        hj = _pcg4d(jnp.stack([key, self.samp,
+                               jnp.full_like(key, 7),
+                               jnp.full_like(key, 0x9E3779B9)], -1))
+        jx = _to_unit_float(hj[..., 0])
+        jy = _to_unit_float(hj[..., 1])
+        x = (sx.astype(jnp.float32) + (sy.astype(jnp.float32) + jx) / n_) / m_
+        y = (sy.astype(jnp.float32) + (sx.astype(jnp.float32) + jy) / m_) / n_
+        return x, y
+
+    def _cmj_1d(self, h):
+        spp = max(self.spp, 1)
+        key = h[..., 3]
+        s = _kensler_permute(self.samp, spp, key * _U32(0x51633E2D))
+        hj = _pcg4d(jnp.stack([key, self.samp,
+                               jnp.full_like(key, 7),
+                               jnp.full_like(key, 0x9E3779B9)], -1))
+        return (s.astype(jnp.float32) + _to_unit_float(hj[..., 0])) / spp
+
+    def _oa_coord(self, a_main, a_sub, p_: int, key, jit):
+        """Sub-stratified OA coordinate (Jarosz et al. 2019 "Orthogonal
+        Array Sampling", CMJ-flavoured): major stratum = permuted OA symbol,
+        minor offset = permuted companion symbol + jitter."""
+        pm = _kensler_permute(a_main, p_, key * _U32(0x68BC21EB))
+        ps = _kensler_permute(a_sub, p_, key * _U32(0x02E5BE93))
+        return (pm.astype(jnp.float32)
+                + (ps.astype(jnp.float32) + jit) / p_) / p_
+
+    def _oa_2d(self, h):
+        """Bose orthogonal-array pattern of strength 2 (reference
+        src/samplers/orthogonal.cpp): sample i maps to symbols
+        (a1, a2) = (i % p, i // p); column j is (a1 + j*a2) % p.  Any two
+        columns — here the two coordinates of every dimension pair, with
+        the column index advancing per dimension — are jointly stratified
+        on the p x p grid.  Ideal spp = p^2 for prime p; other spp cover a
+        prefix of the array after a keyed shuffle."""
+        spp = max(self.spp, 1)
+        p_ = _smallest_prime_ge(max(2, int(spp ** 0.5 + 0.9999)))
+        key = h[..., 3]
+        # the sample-order shuffle must be keyed per PIXEL only (dim
+        # independent): sample k needs the same OA row (a1, a2) in every
+        # dimension, or the strength-2 coupling across dimensions is lost
+        pix_key = _pcg4d(jnp.stack([
+            self.seed, jnp.full_like(self.seed, 3),
+            jnp.zeros_like(self.seed),
+            jnp.full_like(self.seed, 0x9E3779B9)], -1))[..., 0]
+        i = _kensler_permute(self.samp, spp, pix_key * _U32(0x51633E2D))
+        a1 = i % _U32(p_)
+        a2 = i // _U32(p_)
+        # column multipliers for this dimension pair: (a1 + j*a2) % p with
+        # distinct j per coordinate — any two distinct columns are jointly
+        # stratified (strength 2)
+        d = self.dim
+        jx = (d * _U32(2)) % _U32(p_)
+        jy = (d * _U32(2) + _U32(1)) % _U32(p_)
+        cx = (a1 + jx * a2) % _U32(p_)
+        cy = (a1 + jy * a2) % _U32(p_)
+        hj = _pcg4d(jnp.stack([key, self.samp,
+                               jnp.full_like(key, 7),
+                               jnp.full_like(key, 0x9E3779B9)], -1))
+        x = self._oa_coord(cx, cy, p_, key ^ _U32(0x9E3779B9),
+                           _to_unit_float(hj[..., 0]))
+        y = self._oa_coord(cy, cx, p_, key ^ _U32(0x85EBCA6B),
+                           _to_unit_float(hj[..., 1]))
+        return x, y
+
     def next_1d(self):
         h = _pcg4d(jnp.stack([
             self.seed, self.dim,
             jnp.zeros_like(self.seed), jnp.full_like(self.seed, 0x9E3779B9),
         ], -1))
-        if self.kind in ("stratified", "multijitter", "orthogonal"):
+        if self.kind == "stratified":
             u = self._strat_1d(h[..., 0], h[..., 1])
+        elif self.kind in ("multijitter", "orthogonal"):
+            u = self._cmj_1d(h)
         elif self.kind == "ldsampler":
             u = _to_unit_float(_bit_reverse(self.samp) ^ h[..., 0])
         else:
@@ -144,9 +299,15 @@ class Sampler:
             self.seed, self.dim,
             jnp.ones_like(self.seed), jnp.full_like(self.seed, 0x9E3779B9),
         ], -1))
-        if self.kind in ("stratified", "multijitter", "orthogonal"):
+        if self.kind == "stratified":
             u = jnp.stack([self._strat_1d(h[..., 0], h[..., 2]),
                            self._strat_1d(h[..., 1], h[..., 3])], -1)
+        elif self.kind == "multijitter":
+            x, y = self._cmj_2d(h)
+            u = jnp.stack([x, y], -1)
+        elif self.kind == "orthogonal":
+            x, y = self._oa_2d(h)
+            u = jnp.stack([x, y], -1)
         elif self.kind == "ldsampler":
             x, y = self._ld_pair(h[..., 0], h[..., 1])
             u = jnp.stack([x, y], -1)
