@@ -82,12 +82,22 @@ def _grad_jit(scene: Scene, params: Dict[str, Array], seed, spp: int,
 
 
 def render_grad(scene: Scene, params: Dict[str, Array], loss_fn: Callable,
-                spp: int = 16, seed: int = 0, spp_pass: int | None = None):
+                spp: int = 16, seed: int = 0, spp_pass: int | None = None,
+                replay: bool | None = None):
     """Differentiable render: returns (loss, grads wrt params, image).
 
     `params` is a dict of leaf overrides (util.traverse keys); `loss_fn`
     maps the developed (h, w, 3) image to a scalar.
+
+    Dispatches to the PRB replay adjoint (prb_replay.py, ~one forward +
+    one replay walk) whenever the configuration supports it; pass
+    replay=False to force the scan adjoint (used by its own tests).
     """
+    from .prb_replay import render_grad_replay, replay_applicable
+    if replay is None:
+        replay = replay_applicable(scene, params, spp)
+    if replay:
+        return render_grad_replay(scene, params, loss_fn, spp=spp, seed=seed)
     n_pix = scene.film_w * scene.film_h
     from .common import MAX_WAVEFRONT
     max_pass = max(1, min(spp, (MAX_WAVEFRONT // 4) // max(n_pix, 1)))

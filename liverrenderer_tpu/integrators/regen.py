@@ -70,14 +70,22 @@ def _select_state(mask, new, old):
 TILE_PIX = 1 << 18
 
 
-def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int):
-    """One regenerating wavefront over a pixel tile -> (tile_pix, 4)."""
+def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
+                       store_paths: bool = False):
+    """One regenerating wavefront over a pixel tile -> (tile_pix, 4).
+
+    store_paths: additionally record every finished path's radiance into a
+    (tile_pix*spp, 3) pool indexed by sample id — the residual the PRB
+    replay adjoint (integrators/prb_replay.py) needs to reconstruct
+    suffix radiance during its backward walk."""
     w, h = scene.film_w, scene.film_h
     budget = tile_pix * spp
     W = min(REGEN_WAVEFRONT, budget)
 
     st, pos = _make_lanes(scene, jnp.arange(W, dtype=jnp.uint32), seed, spp,
                           pix0, tile_pix)
+    sid = jnp.arange(W, dtype=jnp.uint32)
+    pool_L = jnp.zeros((budget if store_paths else 1, 3))
     film = jnp.zeros((tile_pix, 4))
     refills = (budget + W - 1) // W
     # per-lane iteration budget matches the fixed wavefront's loop cap
@@ -87,11 +95,11 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int):
     max_iters = lane_cap * (refills + 2)
 
     def cond(c):
-        st, pos, film, age, next_s, it = c
+        st, pos, sid, film, pool_L, age, next_s, it = c
         return jnp.any(st.active) & (it < max_iters)
 
     def body(c):
-        st, pos, film, age, next_s, it = c
+        st, pos, sid, film, pool_L, age, next_s, it = c
         was_active = st.active
         st = vp.bounce(scene, st, False)
         age = age + 1
@@ -107,6 +115,9 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int):
         # normalization in develop keeps the estimator consistent).
         L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
+        if store_paths:
+            pool_idx = jnp.where(died, sid, jnp.uint32(budget))
+            pool_L = pool_L.at[pool_idx].set(L, mode="drop")
         in_range = pos[:, 1] < h
         p0i = jnp.asarray(pix0, jnp.int32)
         from ..scene.ir import FILTER_TENT
@@ -150,14 +161,18 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int):
                                       seed, spp, pix0, tile_pix)
         st = _select_state(take, new_st, st)
         pos = jnp.where(take[:, None], new_pos, pos)
+        sid = jnp.where(take, new_ids, sid)
         age = jnp.where(take, 0, age)
         next_s = jnp.minimum(next_s + jnp.sum(died.astype(jnp.uint32)),
                              jnp.uint32(budget))
-        return st, pos, film, age, next_s, it + 1
+        return st, pos, sid, film, pool_L, age, next_s, it + 1
 
-    init = (st, pos, film, jnp.zeros((W,), jnp.int32), jnp.uint32(W),
-            jnp.int32(0))
-    st, pos, film, age, next_s, it = jax.lax.while_loop(cond, body, init)
+    init = (st, pos, sid, film, pool_L, jnp.zeros((W,), jnp.int32),
+            jnp.uint32(W), jnp.int32(0))
+    st, pos, sid, film, pool_L, age, next_s, it = jax.lax.while_loop(
+        cond, body, init)
+    if store_paths:
+        return film, pool_L
     return film
 
 
