@@ -31,7 +31,11 @@ def _moeller_trumbore(o, d, p0, e1, e2):
     Returns (t, u, v, hit)."""
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, -1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    # the unsafe branch's denominator must be replaced BEFORE the divide:
+    # masking only the value leaves 1/det^2 in the backward, which
+    # overflows to inf for subnormal dets and nans masked lanes' grads
+    safe = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
     tvec = o - p0
     u = jnp.sum(tvec * pvec, -1) * inv_det
     qvec = jnp.cross(tvec, e1)
@@ -403,12 +407,16 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     p0 = row[:, 0:3]
     e1 = row[:, 3:6]
     e2 = row[:, 6:9]
-    # re-derive the winner's barycentrics here (the Pallas kernel carries
-    # only (t, prim) through its reduction and returns u = v = 0)
+    # hit FINDING is detached (ray_intersect stops gradients on the
+    # preliminary); re-derive the winner's (t, u, v) DIFFERENTIABLY from
+    # the packed tri_si row so interior geometry gradients flow through
+    # si.p/ns/uv — and so the Pallas kernel (which carries only (t, prim)
+    # through its reduction) gets barycentrics at all
     tt, uu2, vv2, hh = _moeller_trumbore(ray.o, ray.d, p0, e1, e2)
-    recompute = hit_tri & (u == 0.0) & (v == 0.0)
-    u = jnp.where(recompute & hh, uu2, u)
-    v = jnp.where(recompute & hh, vv2, v)
+    ok = hit_tri & hh
+    u = jnp.where(ok, uu2, u)
+    v = jnp.where(ok, vv2, v)
+    t = jnp.where(ok, tt, t)
     w = 1.0 - u - v
     p_tri = p0 + e1 * u[:, None] + e2 * v[:, None]
     ng_tri = m.normalize(jnp.cross(e1, e2))
@@ -424,7 +432,10 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     sph_s = jnp.maximum(sph, 0)
     c = m.table_lookup(scene.sph_center, sph_s)
     r = m.table_lookup(scene.sph_radius, sph_s)
-    p_sph_raw = ray.at(t)
+    # miss lanes carry t=INF; inf positions poison the BACKWARD of the
+    # masked sphere branch (0 cotangent x nan forward), so clamp first
+    t_sph = jnp.where(hit_sph, t, 1.0)
+    p_sph_raw = ray.at(t_sph)
     ns_sph = m.normalize(p_sph_raw - c)
     p_sph = c + ns_sph * r[:, None]   # re-project for robustness
     theta = m.safe_acos(ns_sph[..., 2])
@@ -445,7 +456,7 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
         is_sdf = hit_sph & (sph >= scene.n_spheres)
         k = jnp.clip(sph - scene.n_spheres, 0, scene.n_sdfs - 1)
         A = scene.sdf_to_local[k]                      # (N,4,4)
-        p_w = ray.at(t)
+        p_w = ray.at(jnp.where(is_sdf, t, 1.0))
         p_l = jnp.einsum("nij,nj->ni", A[:, :3, :3], p_w) + A[:, :3, 3]
         h = 0.5 / jnp.max(scene.sdf_whd[k], -1).astype(jnp.float32)
         grad = []
@@ -495,5 +506,9 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
 
 
 def ray_intersect(scene: Scene, ray: Ray) -> SurfaceInteraction:
-    t, prim, u, v, sph = ray_intersect_preliminary(scene, ray)
+    # the search itself is never differentiated (its select-chains give
+    # biased/NaN cotangents); compute_si re-derives the winner's (t,u,v)
+    # differentiably from tri_si
+    pre = ray_intersect_preliminary(scene, ray)
+    t, prim, u, v, sph = jax.tree_util.tree_map(jax.lax.stop_gradient, pre)
     return compute_si(scene, ray, t, prim, u, v, sph)

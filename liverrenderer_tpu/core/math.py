@@ -12,11 +12,18 @@ def dot(a, b):
 
 
 def norm(v):
-    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
+    # forward-exact but grad-safe at v=0: sqrt'(0)=inf would turn the
+    # zero cotangent of masked lanes into nan (inf*0)
+    n2 = jnp.sum(v * v, axis=-1)
+    zero = n2 == 0.0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, n2)))
 
 
 def normalize(v, eps=1e-20):
-    return v / jnp.maximum(norm(v), eps)[..., None]
+    # max on the SQUARED norm keeps the backward finite at v = 0 (the
+    # max(sqrt(x), eps) form still differentiates sqrt at x=0 -> inf*0=nan)
+    n2 = jnp.sum(v * v, axis=-1)
+    return v / jnp.sqrt(jnp.maximum(n2, eps * eps))[..., None]
 
 
 def cross(a, b):

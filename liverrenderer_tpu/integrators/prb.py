@@ -97,7 +97,27 @@ def render_grad(scene: Scene, params: Dict[str, Array], loss_fn: Callable,
     if replay is None:
         replay = replay_applicable(scene, params, spp)
     if replay:
-        return render_grad_replay(scene, params, loss_fn, spp=spp, seed=seed)
+        out = render_grad_replay(scene, params, loss_fn, spp=spp, seed=seed)
+    else:
+        out = None
+    if out is None:
+        out = _render_grad_scan(scene, params, loss_fn, spp, seed, spp_pass)
+    if "vertices" in params:
+        # visibility (boundary) term: silhouette-sampled film-space line
+        # integral (integrators/projective.py; reference direct_projective)
+        from .projective import boundary_gradient
+        loss, grads, image = out
+        delta = jax.grad(lambda im: loss_fn(im))(image)
+        g_b = boundary_gradient(scene, params, delta, seed=seed + 7)
+        grads = dict(grads)
+        grads["vertices"] = grads["vertices"] + g_b
+        out = (loss, grads, image)
+    return out
+
+
+def _render_grad_scan(scene: Scene, params: Dict[str, Array],
+                      loss_fn: Callable, spp: int, seed: int,
+                      spp_pass: int | None):
     n_pix = scene.film_w * scene.film_h
     from .common import MAX_WAVEFRONT
     max_pass = max(1, min(spp, (MAX_WAVEFRONT // 4) // max(n_pix, 1)))

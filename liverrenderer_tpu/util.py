@@ -20,6 +20,85 @@ import jax.numpy as jnp
 
 from .scene.ir import Scene
 
+
+def refresh_vertex_geometry(scene: Scene, V, recompute_normals: bool = True
+                            ) -> Scene:
+    """Propagate updated vertex positions into every derived buffer.
+
+    Analog of Mesh::parameters_changed (reference src/render/mesh.cpp):
+    moving `vertex_positions` re-packs the intersection buffers and
+    recomputes area-weighted vertex normals.  tri_si (the packed
+    compute_si row) is rebuilt DIFFERENTIABLY from V so interior
+    geometry gradients flow; tri_buf / tri_boxes (the Pallas kernel's
+    VMEM buffers) are detached — hit *finding* is non-differentiable,
+    hit *recomputation* in compute_si carries the derivative.
+
+    The kd-tree analog (scene.bvh) is NOT refitted: scenes large enough
+    to select the BVH path should be rebuilt after large vertex motion.
+    """
+    V = jnp.asarray(V, jnp.float32)
+    if scene.n_tris == 0:
+        return scene.replace(vertices=V)
+    F = scene.faces
+    v0, v1, v2 = V[F[:, 0]], V[F[:, 1]], V[F[:, 2]]
+
+    normals = scene.normals
+    if recompute_normals:
+        def smooth_normals(verts):
+            p0, p1, p2 = verts[F[:, 0]], verts[F[:, 1]], verts[F[:, 2]]
+            fn = jnp.cross(p1 - p0, p2 - p0)      # area-weighted
+            acc = jnp.zeros_like(verts)
+            for k in range(3):
+                acc = acc.at[F[:, k]].add(fn)
+            ln2 = jnp.sum(acc * acc, -1, keepdims=True)
+            # grad-safe at acc=0 (padded verts): clamp the SQUARED norm
+            return jnp.where(ln2 > 1e-24,
+                             acc / jnp.sqrt(jnp.maximum(ln2, 1e-24)), 0.0)
+
+        # only vertices whose stored normal IS the smooth normal of the
+        # ORIGINAL geometry are updated; authored/face normals (hard
+        # edges, custom shading) are preserved (the reference only
+        # recomputes when the mesh had computed normals, mesh.cpp
+        # recompute_vertex_normals gating)
+        old_smooth = smooth_normals(jax.lax.stop_gradient(scene.vertices))
+        was_smooth = jnp.sum(old_smooth * scene.normals,
+                             -1, keepdims=True) > 0.999
+        normals = jnp.where(was_smooth, smooth_normals(V), scene.normals)
+
+    tri_si = scene.tri_si
+    tri_si = tri_si.at[:, 0:3].set(v0)
+    tri_si = tri_si.at[:, 3:6].set(v1 - v0)
+    tri_si = tri_si.at[:, 6:9].set(v2 - v0)
+    tri_si = tri_si.at[:, 9:12].set(normals[F[:, 0]])
+    tri_si = tri_si.at[:, 12:15].set(normals[F[:, 1]])
+    tri_si = tri_si.at[:, 15:18].set(normals[F[:, 2]])
+
+    # kernel buffers: detached re-pack in the stored BVH-leaf order
+    Vd = jax.lax.stop_gradient(V)
+    kperm = scene.tri_kperm
+    valid = kperm >= 0
+    fo = F[jnp.maximum(kperm, 0)]
+    b0, b1, b2 = Vd[fo[:, 0]], Vd[fo[:, 1]], Vd[fo[:, 2]]
+    vm = valid[:, None]
+    tri_buf = jnp.concatenate([
+        jnp.where(vm, b0, 0.0), jnp.where(vm, b1 - b0, 0.0),
+        jnp.where(vm, b2 - b0, 0.0),
+        jnp.where(valid, kperm.astype(jnp.float32), 0.0)[:, None],
+        scene.tri_buf[:, 10:12]], -1)
+    from .accel.pallas_intersect import TILE_T
+    n_chunks = tri_buf.shape[0] // TILE_T
+    pts = jnp.stack([b0, b1, b2], 1)              # (Tpad, 3pts, 3)
+    lo = jnp.where(vm[:, None], pts, jnp.inf).reshape(
+        n_chunks, TILE_T * 3, 3).min(1)
+    hi = jnp.where(vm[:, None], pts, -jnp.inf).reshape(
+        n_chunks, TILE_T * 3, 3).max(1)
+    tri_boxes = jnp.concatenate(
+        [lo, hi, scene.tri_boxes[:, 6:8]], -1)
+
+    return scene.replace(vertices=V, normals=normals, tri_si=tri_si,
+                         tri_buf=tri_buf, tri_boxes=tri_boxes)
+
+
 # leaf key -> (getter, setter)
 _LEAVES: Dict[str, tuple] = {
     "bsdfs.params": (lambda s: s.bsdfs.params,
@@ -37,8 +116,7 @@ _LEAVES: Dict[str, tuple] = {
                      lambda s, v: s.replace(media=s.media.replace(params=v))),
     "media.grids": (lambda s: s.media.grids,
                     lambda s, v: s.replace(media=s.media.replace(grids=v))),
-    "vertices": (lambda s: s.vertices,
-                 lambda s, v: s.replace(vertices=v)),
+    "vertices": (lambda s: s.vertices, refresh_vertex_geometry),
 }
 
 
