@@ -27,6 +27,12 @@ def _integrator_sample(scene: Scene, sampler, ray, mode="primal"):
     name = scene.integrator
     if name in ("path", "direct", "prb", "prb_basic"):
         return path_mod.sample(scene, sampler, ray, mode=mode)
+    if name == "volpathmis" and not volpath_mod._has_bio(scene):
+        # true spectral MIS over the per-channel distance-sampling
+        # strategies (volpathmis.cpp SpectralMis variant); bio media keep
+        # their one-hot channel semantics in volpath.py
+        from . import volpathmis as volpathmis_mod
+        return volpathmis_mod.sample(scene, sampler, ray, mode=mode)
     if name in ("volpath", "volpathmis", "biovolpath", "biovolpath06",
                 "prbvolpath"):
         return volpath_mod.sample(scene, sampler, ray, mode=mode)

@@ -205,9 +205,13 @@ def regen_applicable(scene: Scene, mode: str) -> bool:
     # thinlens/irradiancemeter need an extra 2d sample per camera ray that
     # the regen seeding does not draw
     from ..scene.ir import FILTER_TENT
+    from .volpath import _has_bio
+    # non-bio volpathmis runs the true spectral-MIS scheme
+    # (integrators/volpathmis.py) which the regen bounce does not carry
+    ok_names = ("volpath", "biovolpath", "biovolpath06") \
+        + (("volpathmis",) if _has_bio(scene) else ())
     return (mode == "primal"
-            and scene.integrator in ("volpath", "volpathmis", "biovolpath",
-                                     "biovolpath06")
+            and scene.integrator in ok_names
             and scene.rfilter in (FILTER_BOX, FILTER_TENT)
             and scene.sensor.stype not in (SENSOR_THINLENS,
                                            SENSOR_IRRADIANCEMETER))
