@@ -94,19 +94,13 @@ def project_to_film(scene: Scene, p: Array) -> Array:
     return jnp.stack([nx * w, ny * h], -1)
 
 
-@partial(jax.jit, static_argnames=("n_samples", "sil_depth"))
-def _boundary_grad_jit(scene: Scene, V: Array, edge_v: Array, edge_f: Array,
-                       delta: Array, seed, n_samples: int, sil_depth: int):
-    """Vertex-position cotangent of the primary-visibility boundary term.
-
-    delta: (h, w, 3) dLoss/dImage.  Returns dLoss/dV (V, 3).
-    """
-    w, h = scene.film_w, scene.film_h
+def silhouette_weights(scene: Scene, Vd: Array, edge_v: Array,
+                       edge_f: Array):
+    """Length-measure categorical weights over the silhouette edge set
+    (the projective.py silhouette test): weight = edge length on
+    silhouette edges, 0 elsewhere."""
     F = scene.faces
-    Vd = jax.lax.stop_gradient(V)
     cam = scene.sensor.to_world[:3, 3]
-
-    # ---- silhouette classification (projective.py silhouette test) ----
     p0, p1 = Vd[edge_v[:, 0]], Vd[edge_v[:, 1]]
     mid = 0.5 * (p0 + p1)
 
@@ -121,7 +115,24 @@ def _boundary_grad_jit(scene: Scene, V: Array, edge_v: Array, edge_f: Array,
     boundary = edge_f[:, 1] < 0
     sil = jnp.where(boundary, True, front0 != front1)
     length = jnp.linalg.norm(p1 - p0, axis=-1)
-    wgt = jnp.where(sil, length, 0.0)
+    return jnp.where(sil, length, 0.0), length
+
+
+@partial(jax.jit, static_argnames=("n_samples", "sil_depth"))
+def _boundary_grad_jit(scene: Scene, V: Array, edge_v: Array, edge_f: Array,
+                       delta: Array, wgt: Array, seed, n_samples: int,
+                       sil_depth: int):
+    """Vertex-position cotangent of the primary-visibility boundary term.
+
+    delta: (h, w, 3) dLoss/dImage; wgt: (E,) categorical edge weights
+    (any measure supported on the silhouette set — uniform length or
+    pilot-guided).  Returns (dLoss/dV (V,3), per-sample |contribution|
+    (P,), sampled edge ids (P,)) — the latter two feed guiding.
+    """
+    w, h = scene.film_w, scene.film_h
+    Vd = jax.lax.stop_gradient(V)
+    cam = scene.sensor.to_world[:3, 3]
+    _, length = silhouette_weights(scene, Vd, edge_v, edge_f)
     total_w = jnp.sum(wgt)
 
     # ---- sample n_samples points on the silhouette set ----
@@ -197,10 +208,10 @@ def _boundary_grad_jit(scene: Scene, V: Array, edge_v: Array, edge_f: Array,
     n_bg = jnp.where(fg_p[:, None], -n_hat, n_hat)
 
     # ---- assemble the boundary VJP ----
-    # film-space line density of the sampler:
-    #   p_film = (1 / total_w) * (len_scene / len_film)  per unit film
-    #   length; len_film/len_scene locally = `speed`
-    inv_p = total_w * speed                       # 1 / p_film
+    # film-space line density of the sampler with categorical edge
+    # weights w_e:  p_film = (w_e / total_w) * 1/len_e * 1/speed  per
+    # unit film length (uniform-by-length reduces to total_w * speed)
+    inv_p = total_w * speed * len_e / jnp.maximum(wgt[e_idx], 1e-30)
     pix = jnp.clip(xf[:, 1].astype(jnp.int32), 0, h - 1) * w \
         + jnp.clip(xf[:, 0].astype(jnp.int32), 0, w - 1)
     d_pix = delta.reshape(-1, 3)[pix]
@@ -214,12 +225,26 @@ def _boundary_grad_jit(scene: Scene, V: Array, edge_v: Array, edge_f: Array,
         xfv = project_to_film(scene, xv)
         return jnp.sum(coeff * jnp.sum(xfv * n_bg, -1))
 
-    return jax.grad(S)(V)
+    return jax.grad(S)(V), jnp.abs(coeff) * n_samples, e_idx
+
+
+@partial(jax.jit, static_argnames=())
+def _sil_weights_jit(scene: Scene, Vd: Array, edge_v: Array, edge_f: Array):
+    return silhouette_weights(scene, Vd, edge_v, edge_f)[0]
 
 
 def boundary_gradient(scene: Scene, params, delta_image, seed: int = 0,
-                      n_samples: int = 1 << 16, sil_depth: int = 6):
+                      n_samples: int = 1 << 16, sil_depth: int = 6,
+                      guiding: str = "edges", pilot_frac: float = 0.25):
     """dLoss/d(vertices) boundary term.  `delta_image`: (h, w, 3) dL/dI.
+
+    guiding="edges" runs the reference's two-stage projective sampling
+    (ad/guiding.py distributions; PSIntegrator proj_mesh spec): a pilot
+    round samples the silhouette uniformly by length, its per-sample
+    |contribution| builds a guided per-edge distribution
+    (guiding.edge_guided_weights), and the main round samples from it.
+    The rounds are count-weighted together (both unbiased).
+    guiding="none" is single-round uniform-by-length.
 
     Only triangle meshes contribute silhouettes (the reference's
     sphere/curve/SDF silhouette support is per-shape-type specialized,
@@ -229,6 +254,19 @@ def boundary_gradient(scene: Scene, params, delta_image, seed: int = 0,
     sc = apply_params(scene, {k: jax.lax.stop_gradient(v)
                               for k, v in params.items()})
     ev, ef = edge_table(np.asarray(sc.faces), sc.n_tris)
-    return _boundary_grad_jit(sc, params["vertices"], ev, ef,
-                              jnp.asarray(delta_image), seed, n_samples,
-                              sil_depth)
+    V = params["vertices"]
+    delta = jnp.asarray(delta_image)
+    wgt0 = _sil_weights_jit(sc, jax.lax.stop_gradient(V), ev, ef)
+    if guiding == "none":
+        g, _, _ = _boundary_grad_jit(sc, V, ev, ef, delta, wgt0, seed,
+                                     n_samples, sil_depth)
+        return g
+    n_pilot = max(256, int(n_samples * pilot_frac))
+    n_main = max(256, n_samples - n_pilot)
+    g1, mass, e_idx = _boundary_grad_jit(sc, V, ev, ef, delta, wgt0, seed,
+                                         n_pilot, sil_depth)
+    from .guiding import edge_guided_weights
+    wgt1 = edge_guided_weights(mass, e_idx, wgt0)
+    g2, _, _ = _boundary_grad_jit(sc, V, ev, ef, delta, wgt1, seed + 1,
+                                  n_main, sil_depth)
+    return (n_pilot * g1 + n_main * g2) / (n_pilot + n_main)
