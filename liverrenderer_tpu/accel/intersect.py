@@ -264,8 +264,10 @@ def _tri_strategy(scene: Scene):
     # lane and every step is gather-bound, while dense is pure vectorized
     # FLOPs (measured 2.4k tris x 73k rays on v5e: lockstep BVH 5089 ms,
     # XLA scan brute 68 ms, Pallas VMEM-resident kernel fastest).
-    from .pallas_intersect import MAX_VMEM_TRIS
-    if _on_tpu() and 0 < scene.n_tris <= MAX_VMEM_TRIS:
+    from .pallas_intersect import MAX_STREAM_TRIS
+    if _on_tpu() and 0 < scene.n_tris <= MAX_STREAM_TRIS:
+        # past MAX_VMEM_TRIS the wrapper switches to the streaming kernel
+        # (SUPER_T blocks pipelined from HBM, accumulated closest hit)
         return _pallas_tris
     return _brute_tris if scene.n_tris <= 8192 else _bvh_tris
 

@@ -137,6 +137,127 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
     out_ref[2:8, :] = jnp.zeros((6, TILE_R))
 
 
+def _intersect_stream_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
+    """Streaming variant for triangle sets past the VMEM-resident cap:
+    grid dim 1 walks SUPER_T-triangle blocks (auto double-buffered from
+    HBM by the Pallas pipeline); the closest-hit state accumulates in
+    out_ref across blocks (same output tile for every j — TPU grids are
+    sequential over the minor dim, the matmul-k accumulation pattern).
+    Capability analog of the reference's kd-tree on arbitrary scenes
+    (include/mitsuba/render/kdtree.h) with TPU-shaped dataflow instead of
+    per-lane traversal."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0:1, :] = jnp.full((1, TILE_R), _INF)
+        out_ref[1:2, :] = jnp.full((1, TILE_R), -1.0)
+        out_ref[2:8, :] = jnp.zeros((6, TILE_R))
+
+    n_chunks = tris_ref.shape[0] // TILE_T
+
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+    maxt = rays_ref[6:7, :]
+    eps = 1e-20
+    idx_ = 1.0 / jnp.where(jnp.abs(dx) > eps, dx, eps)
+    idy_ = 1.0 / jnp.where(jnp.abs(dy) > eps, dy, eps)
+    idz_ = 1.0 / jnp.where(jnp.abs(dz) > eps, dz, eps)
+
+    def chunk_body(c, carry):
+        best_t, best_prim = carry
+        t0x = (boxes_ref[c, 0] - ox) * idx_
+        t1x = (boxes_ref[c, 3] - ox) * idx_
+        t0y = (boxes_ref[c, 1] - oy) * idy_
+        t1y = (boxes_ref[c, 4] - oy) * idy_
+        t0z = (boxes_ref[c, 2] - oz) * idz_
+        t1z = (boxes_ref[c, 5] - oz) * idz_
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.maximum(t0z, t1z))
+        lim = jnp.minimum(best_t, maxt)
+        any_enter = jnp.any((near <= far) & (far > 0.0) & (near < lim))
+        return jax.lax.cond(any_enter, lambda cr: _mt(c, cr),
+                            lambda cr: cr, carry)
+
+    def _mt(c, carry):
+        best_t, best_prim = carry
+        base = c * TILE_T
+        p0x = tris_ref[pl.ds(base, TILE_T), 0:1]
+        p0y = tris_ref[pl.ds(base, TILE_T), 1:2]
+        p0z = tris_ref[pl.ds(base, TILE_T), 2:3]
+        e1x = tris_ref[pl.ds(base, TILE_T), 3:4]
+        e1y = tris_ref[pl.ds(base, TILE_T), 4:5]
+        e1z = tris_ref[pl.ds(base, TILE_T), 5:6]
+        e2x = tris_ref[pl.ds(base, TILE_T), 6:7]
+        e2y = tris_ref[pl.ds(base, TILE_T), 7:8]
+        e2z = tris_ref[pl.ds(base, TILE_T), 8:9]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = ox - p0x
+        tvy = oy - p0y
+        tvz = oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
+            & (u + v <= 1.0) & (t > 0.0) & (t < best_t) & (t < maxt)
+        t_m = jnp.where(hit, t, _INF)
+        t_min = jnp.min(t_m, axis=0, keepdims=True)
+        sel = t_m == t_min
+        tri_ids = tris_ref[pl.ds(base, TILE_T), 9:10]
+        got = t_min < best_t
+        prim_min = jnp.max(jnp.where(sel, tri_ids, -1.0), axis=0,
+                           keepdims=True)
+        best_prim = jnp.where(got, prim_min, best_prim)
+        best_t = jnp.where(got, t_min, best_t)
+        return best_t, best_prim
+
+    init = (out_ref[0:1, :], out_ref[1:2, :])
+    best_t, best_prim = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    out_ref[0:1, :] = best_t
+    out_ref[1:2, :] = best_prim
+
+
+# streamed triangle block: 64k tris x 48 B = 3 MB (x2 double-buffered)
+SUPER_T = MAX_VMEM_TRIS
+# streaming stays ahead of lockstep BVH traversal well past 64k; beyond
+# this the O(T)-per-wavefront sweep loses to the log-depth walk
+MAX_STREAM_TRIS = 1 << 21
+
+
+@partial(jax.jit, static_argnames=("n_tiles", "n_super"))
+def _call_kernel_stream(rays, tris, boxes, n_tiles, n_super):
+    return pl.pallas_call(
+        _intersect_stream_kernel,
+        grid=(n_tiles, n_super),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUPER_T, 12), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUPER_T // TILE_T, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TILE_R), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(rays.shape, jnp.float32),
+    )(rays, tris, boxes)
+
+
 @partial(jax.jit, static_argnames=("n_tiles",))
 def _call_kernel(rays, tris, boxes, n_tiles):
     return pl.pallas_call(
@@ -157,6 +278,9 @@ def _call_kernel(rays, tris, boxes, n_tiles):
 @jax.custom_vjp
 def _intersect_nograd(rays, tris, boxes):
     n_tiles = rays.shape[1] // TILE_R
+    if tris.shape[0] > MAX_VMEM_TRIS:
+        return _call_kernel_stream(rays, tris, boxes, n_tiles,
+                                   tris.shape[0] // SUPER_T)
     return _call_kernel(rays, tris, boxes, n_tiles)
 
 
@@ -184,6 +308,9 @@ def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     -> original triangle id)."""
     T = len(v0)
     tpad = max(((T + TILE_T - 1) // TILE_T) * TILE_T, TILE_T)
+    if tpad > MAX_VMEM_TRIS:
+        # streaming kernel: pad to a whole number of SUPER_T blocks
+        tpad = ((tpad + SUPER_T - 1) // SUPER_T) * SUPER_T
     if perm is None:
         perm = np.arange(T, dtype=np.int64)
     v0o, v1o, v2o = v0[perm], v1[perm], v2[perm]

@@ -555,69 +555,261 @@ def _roughdielectric_sample(wi, u1, u2, p, t0, t1):
     return wo, pdf, weight, eta_s, st
 
 
-def _principled_lobes(wi, wo, p, t0):
-    """Shared terms of the principled BSDF (reference
-    src/bsdfs/principled.cpp, 905 LoC; this implements the core
-    metallic-roughness model: lambertian base + GGX specular with Schlick
-    fresnel; clearcoat/sheen/anisotropy/transmission deferred)."""
+# ---------------------------------------------------------------------------
+# Principled (Disney 2012/2015) BSDF — full model (reference
+# src/bsdfs/principled.cpp 905 LoC + principledhelpers.h): metallic-
+# roughness base, anisotropic GGX main specular with blended
+# dielectric/Schlick fresnel and spec_tint, microfacet specular
+# transmission (spec_trans), GTR1 clearcoat, sheen with sheen_tint, and
+# retro-reflection / Hanrahan-Krueger fake-subsurface diffuse (flatness).
+# Param row layout (builder.py "principled"): p0 metallic, p1 roughness,
+# p2 eta (precomputed from `specular` unless `eta` given), p3 clearcoat,
+# p4 clearcoat_gloss, p5 anisotropic, p6 sheen, p7 sheen_tint,
+# p8 spec_trans, p9 flatness, p10 spec_tint.
+# ---------------------------------------------------------------------------
+
+def _schlick_w(cos_t):
+    """(1-cos)^5 Schlick weight (principledhelpers.h schlick_weight)."""
+    w = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    return (w * w) * (w * w) * w
+
+
+def _calc_schlick(r0, cos_i, eta):
+    """Schlick fresnel that uses the transmitted angle when the relative
+    IOR along the ray is < 1 (principledhelpers.h calc_schlick)."""
+    outside = cos_i >= 0.0
+    eta_it = jnp.where(outside, eta, 1.0 / eta)
+    eta_ti = jnp.where(outside, 1.0 / eta, eta)
+    ctt2 = 1.0 - (1.0 - cos_i * cos_i) * eta_ti * eta_ti
+    ctt = m.safe_sqrt(ctt2)
+    w = jnp.where(eta_it > 1.0, _schlick_w(jnp.abs(cos_i)), _schlick_w(ctt))
+    if r0.ndim == w.ndim:                       # scalar R0
+        return r0 + (1.0 - r0) * w
+    return r0 + (1.0 - r0) * w[..., None]
+
+
+def _gtr1_d(wh, a):
+    """GTR1 NDF for the clearcoat lobe (principledhelpers.h GTR1Isotropic)."""
+    cz = m.cos_theta(wh)
+    a2 = a * a
+    d = (a2 - 1.0) / (jnp.pi * jnp.log(a2)
+                      * (1.0 + (a2 - 1.0) * cz * cz))
+    return jnp.where(d * cz > 1e-20, d, 0.0)
+
+
+def _gtr1_sample(u, a):
+    a2 = a * a
+    phi = 2.0 * jnp.pi * u[..., 0]
+    ct2 = (1.0 - jnp.power(a2, 1.0 - u[..., 1])) / (1.0 - a2)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct2))
+    ct = jnp.sqrt(jnp.maximum(0.0, ct2))
+    return jnp.stack([jnp.cos(phi) * st, jnp.sin(phi) * st, ct], -1)
+
+
+def _smith_ggx1(v, wh, alpha):
+    """Separable Smith G1 with the clearcoat's fixed alpha
+    (principledhelpers.h smith_ggx1)."""
+    a2 = alpha * alpha
+    cz = jnp.abs(m.cos_theta(v))
+    cz2 = jnp.maximum(cz * cz, 1e-12)
+    tan2 = (1.0 - cz2) / cz2
+    g = 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * tan2))
+    g = jnp.where(m.cos_theta(v) == 1.0, 1.0, g)
+    return jnp.where(jnp.sum(v * wh, -1) * m.cos_theta(v) <= 0.0, 0.0, g)
+
+
+def _principled_fetch(p):
     metallic = p[..., 0]
-    rough = jnp.maximum(p[..., 1], 0.03)
-    specular = p[..., 2]
-    alpha = rough * rough
-    base = t0
-    f0 = (0.08 * specular)[..., None] * (1.0 - metallic[..., None]) \
-        + base * metallic[..., None]
-    return metallic, alpha, base, f0
+    rough = jnp.clip(p[..., 1], 0.0, 1.0)
+    eta = jnp.maximum(p[..., 2], 1.0009)
+    cc, ccg = p[..., 3], p[..., 4]
+    aniso = p[..., 5]
+    sheen, sheen_tint = p[..., 6], p[..., 7]
+    strans, flat, stint = p[..., 8], p[..., 9], p[..., 10]
+    r2 = rough * rough
+    aspect = jnp.sqrt(1.0 - 0.9 * aniso)
+    ax = jnp.maximum(1e-3, r2 / aspect)
+    ay = jnp.maximum(1e-3, r2 * aspect)
+    return (metallic, rough, eta, cc, ccg, ax, ay, sheen, sheen_tint,
+            strans, flat, stint)
 
 
-def _schlick(f0, cos_t):
-    return f0 + (1.0 - f0) * (1.0 - jnp.clip(cos_t, 0.0, 1.0))[..., None] ** 5
-
-
-def _principled_pdf_weights(metallic):
-    # lobe selection probability (principled.cpp lobe weights)
-    p_spec = jnp.clip(0.5 * (1.0 + metallic), 0.1, 1.0)
-    return p_spec, 1.0 - p_spec
+def _principled_probs(front, bsdfw, brdf, cc, F_die):
+    """Lobe selection probabilities (principled.cpp sample/pdf; unit
+    sampling rates)."""
+    p_sr = jnp.where(front, 1.0 - bsdfw * (1.0 - F_die), F_die)
+    p_st = jnp.where(front, bsdfw * (1.0 - F_die), 1.0 - F_die)
+    p_cc = jnp.where(front, 0.25 * cc, 0.0)
+    p_di = jnp.where(front, brdf, 0.0)
+    tot = jnp.maximum(p_sr + p_st + p_cc + p_di, 1e-12)
+    return p_sr / tot, p_st / tot, p_cc / tot, p_di / tot
 
 
 def _principled_eval(wi, wo, p, t0, t1):
-    metallic, alpha, base, f0 = _principled_lobes(wi, wo, p, t0)
+    (metallic, rough, eta, cc, ccg, ax, ay, sheen, sheen_tint, strans,
+     flat, stint) = _principled_fetch(p)
+    base = t0
     ci = m.cos_theta(wi)
     co = m.cos_theta(wo)
-    act = (ci > 0) & (co > 0)
-    h = m.normalize(wi + wo)
-    d = mf.ggx_d(h, alpha, alpha)
-    g = mf.ggx_smith_g1(wi, h, alpha, alpha) \
-        * mf.ggx_smith_g1(wo, h, alpha, alpha)
-    F = _schlick(f0, jnp.sum(wi * h, -1))
-    spec = F * (d * g / jnp.maximum(4.0 * ci, 1e-8))[..., None]
-    diff = base * (1.0 - metallic[..., None]) / jnp.pi * co[..., None]
-    val = jnp.where(act[..., None], spec + diff, 0.0)
+    brdf = (1.0 - metallic) * (1.0 - strans)
+    bsdfw = (1.0 - metallic) * strans
+    refl = ci * co > 0.0
+    refr = ci * co < 0.0
+    front = ci > 0.0
+    eta_path = jnp.where(front, eta, 1.0 / eta)
 
-    p_spec, p_diff = _principled_pdf_weights(metallic)
-    pdf_h = mf.ggx_pdf_visible(wi, h, alpha, alpha)
-    pdf_spec = pdf_h / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-8)
-    pdf = p_spec * pdf_spec + p_diff * jnp.maximum(co, 0.0) / jnp.pi
-    return val, jnp.where(act, pdf, 0.0)
+    wh = m.normalize(wi + wo * jnp.where(refl, 1.0, eta_path)[..., None])
+    wh = wh * jnp.sign(m.cos_theta(wh))[..., None]       # point up
+    cos_ih = jnp.sum(wi * wh, -1)
+    cos_oh = jnp.sum(wo * wh, -1)
+    F_die, _, eta_it, _ = fr.fresnel_dielectric(cos_ih, eta)
+
+    sgn = jnp.sign(ci)
+    mm_r = (cos_ih * sgn > 0.0) & (cos_oh * sgn > 0.0)
+    mm_t = (cos_ih * sgn > 0.0) & (cos_oh * (-sgn) > 0.0)
+
+    # ggx_smith_g1/ggx_pdf_visible are even in v with an orientation
+    # mask that already handles below-horizon directions, so wi/wo pass
+    # through unflipped (the reference's mulsign(wi, cos_theta_i) is a
+    # full negation, under which both are invariant)
+    D = mf.ggx_d(wh, ax, ay)
+    G = mf.ggx_smith_g1(wi, wh, ax, ay) * mf.ggx_smith_g1(wo, wh, ax, ay)
+
+    val = jnp.zeros(wi.shape)
+
+    # ---- main specular reflection (blended principled fresnel) ----
+    lum = 0.212671 * base[..., 0] + 0.715160 * base[..., 1] \
+        + 0.072169 * base[..., 2]
+    c_tint = jnp.where(lum[..., None] > 0.0,
+                       base / jnp.maximum(lum, 1e-12)[..., None], 1.0)
+    r0_eta = ((eta - 1.0) / (eta + 1.0)) ** 2
+    eta_it_m = jnp.where(cos_ih >= 0.0, eta, 1.0 / eta)
+    f0_tint = c_tint * (((eta_it_m - 1.0) / (eta_it_m + 1.0)) ** 2)[..., None]
+    del r0_eta
+    F_schlick = metallic[..., None] * _calc_schlick(base, cos_ih, eta) \
+        + ((1.0 - metallic) * stint)[..., None] \
+        * _calc_schlick(f0_tint, cos_ih, eta)
+    F_front = ((1.0 - metallic) * (1.0 - stint) * F_die)[..., None] \
+        + F_schlick
+    F_prin = jnp.where(front[..., None], F_front,
+                       (bsdfw * F_die)[..., None])
+    sr_on = refl & mm_r & (F_die > 0.0)
+    val += jnp.where(sr_on[..., None],
+                     F_prin * (D * G / jnp.maximum(
+                         4.0 * jnp.abs(ci), 1e-8))[..., None], 0.0)
+
+    # ---- specular microfacet transmission (radiance-mode eta scale) ----
+    st_on = refr & mm_t & (bsdfw > 0.0) & (F_die < 1.0)
+    denom = cos_ih + eta_path * cos_oh
+    tr = bsdfw * jnp.abs(
+        ((1.0 / jnp.maximum(eta_path * eta_path, 1e-12))
+         * (1.0 - F_die) * D * G * eta_path * eta_path * cos_ih * cos_oh)
+        / (ci * jnp.maximum(denom * denom, 1e-12)))
+    val += jnp.where(st_on[..., None], jnp.sqrt(jnp.maximum(base, 0.0))
+                     * tr[..., None], 0.0)
+
+    # ---- clearcoat (GTR1, fixed 0.04 schlick, alpha-0.25 smith G) ----
+    cc_on = refl & mm_r & front & (cc > 0.0)
+    a_cc = 0.1 + (0.001 - 0.1) * ccg
+    Fcc = _calc_schlick(jnp.full(ci.shape, 0.04), cos_ih, eta)
+    Dcc = _gtr1_d(wh, a_cc)
+    Gcc = _smith_ggx1(wi, wh, 0.25) * _smith_ggx1(wo, wh, 0.25)
+    val += jnp.where(cc_on[..., None],
+                     (0.25 * cc * Fcc * Dcc * Gcc
+                      * jnp.abs(co))[..., None], 0.0)
+
+    # ---- diffuse + retro-reflection + fake subsurface + sheen ----
+    di_on = refl & front & (brdf > 0.0)
+    Fo = _schlick_w(jnp.abs(co))
+    Fi = _schlick_w(jnp.abs(ci))
+    f_diff = (1.0 - 0.5 * Fi) * (1.0 - 0.5 * Fo)
+    cos_d = cos_oh
+    Rr = 2.0 * rough * cos_d * cos_d
+    f_retro = Rr * (Fo + Fi + Fo * Fi * (Rr - 1.0))
+    fss90 = 0.5 * Rr
+    fss = (1.0 + (fss90 - 1.0) * Fo) * (1.0 + (fss90 - 1.0) * Fi)
+    f_ss = 1.25 * (fss * (1.0 / jnp.maximum(jnp.abs(co) + jnp.abs(ci),
+                                            1e-8) - 0.5) + 0.5)
+    f_d = (f_diff + f_retro) * (1.0 - flat) + f_ss * flat
+    val += jnp.where(di_on[..., None],
+                     (brdf * jnp.abs(co) / jnp.pi * f_d)[..., None] * base,
+                     0.0)
+    sh_on = refl & front & (sheen > 0.0) & (metallic < 1.0)
+    Fd = _schlick_w(jnp.abs(cos_d))
+    c_sheen = 1.0 + (c_tint - 1.0) * sheen_tint[..., None]
+    val += jnp.where(sh_on[..., None],
+                     (sheen * (1.0 - metallic) * Fd
+                      * jnp.abs(co))[..., None] * c_sheen, 0.0)
+
+    # ---- pdf over the four lobes ----
+    p_sr, p_st, p_cc, p_di = _principled_probs(front, bsdfw, brdf, cc,
+                                               F_die)
+    pdf_h = mf.ggx_pdf_visible(wi, wh, ax, ay)
+    dwh_r = 1.0 / jnp.maximum(4.0 * jnp.abs(cos_oh), 1e-8)
+    dwh_t = jnp.abs((eta_path * eta_path) * cos_oh) \
+        / jnp.maximum(denom * denom, 1e-12)
+    pdf = jnp.where(refl & mm_r, p_sr * pdf_h * dwh_r, 0.0)
+    pdf += jnp.where(refl, p_di * jnp.maximum(co, 0.0) / jnp.pi, 0.0)
+    pdf += jnp.where(refr & mm_t, p_st * pdf_h * dwh_t, 0.0)
+    pdf_cc_h = jnp.maximum(m.cos_theta(wh), 0.0) * _gtr1_d(wh, a_cc)
+    pdf += jnp.where(refl & mm_r, p_cc * pdf_cc_h * dwh_r, 0.0)
+
+    act = (ci != 0.0) & (front | (bsdfw > 0.0))
+    return jnp.where(act[..., None], val, 0.0), jnp.where(act, pdf, 0.0)
 
 
 def _principled_sample(wi, u1, u2, p, t0, t1):
-    metallic, alpha, base, f0 = _principled_lobes(wi, wi, p, t0)
+    (metallic, rough, eta, cc, ccg, ax, ay, sheen, sheen_tint, strans,
+     flat, stint) = _principled_fetch(p)
     ci = m.cos_theta(wi)
-    p_spec, p_diff = _principled_pdf_weights(metallic)
-    take_spec = u1 < p_spec
+    brdf = (1.0 - metallic) * (1.0 - strans)
+    bsdfw = (1.0 - metallic) * strans
+    front = ci > 0.0
 
-    h = mf.ggx_sample_vndf(wi, u2, alpha, alpha)
-    wo_spec = 2.0 * jnp.sum(wi * h, -1)[..., None] * h - wi
-    wo_diff = warp.square_to_cosine_hemisphere(u2)
-    wo = jnp.where(take_spec[..., None], wo_spec, wo_diff)
+    # sample the main-specular micro normal first; fresnel w.r.t. it
+    # drives the lobe probabilities (principled.cpp:356-400).  The
+    # micro normal stays in the upper hemisphere for BOTH sides (the
+    # reference's mulsign(wi, cos_theta_i) convention), so the eval-side
+    # wh reconstruction lands on exactly this normal and the vndf pdf
+    # (even in wi) is the true sampling density.
+    wi_m = wi * jnp.sign(ci)[..., None]
+    h_spec = mf.ggx_sample_vndf(wi_m, u2, ax, ay)
+    cos_ih = jnp.sum(wi * h_spec, -1)
+    F_die, ctt, eta_it, eta_ti = fr.fresnel_dielectric(cos_ih, eta)
+
+    p_sr, p_st, p_cc, p_di = _principled_probs(front, bsdfw, brdf, cc,
+                                               F_die)
+    take_di = u1 < p_di
+    take_cc = (~take_di) & (u1 < p_di + p_cc)
+    take_st = (~take_di) & (~take_cc) & (u1 < p_di + p_cc + p_st)
+    take_sr = (~take_di) & (~take_cc) & (~take_st)
+
+    wo_sr = 2.0 * cos_ih[..., None] * h_spec - wi
+    # refract through the up-oriented micro normal: the fresnel helper's
+    # cos_theta_t already carries the right (negated-incident-side) sign
+    # for either hemisphere (fresnel.h refract())
+    wo_st = m.normalize(
+        h_spec * (eta_ti * cos_ih + ctt)[..., None]
+        - eta_ti[..., None] * wi)
+    a_cc = 0.1 + (0.001 - 0.1) * ccg
+    h_cc = _gtr1_sample(u2, a_cc)
+    wo_cc = 2.0 * jnp.sum(wi * h_cc, -1)[..., None] * h_cc - wi
+    wo_di = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(take_sr[..., None], wo_sr,
+                   jnp.where(take_st[..., None], wo_st,
+                             jnp.where(take_cc[..., None], wo_cc, wo_di)))
+    co = m.cos_theta(wo)
 
     val, pdf = _principled_eval(wi, wo, p, t0, t1)
-    act = (ci > 0) & (m.cos_theta(wo) > 0) & (pdf > 0)
+    side_ok = jnp.where(take_st, ci * co < 0.0, ci * co > 0.0)
+    act = (ci != 0.0) & (front | (bsdfw > 0.0)) & side_ok & (pdf > 1e-12)
     weight = jnp.where(act[..., None],
                        val / jnp.maximum(pdf, 1e-12)[..., None], 0.0)
-    return wo, jnp.where(act, pdf, 0.0), weight, jnp.ones(pdf.shape), \
-        jnp.full(pdf.shape, F_GLOSSY_REFL | F_DIFFUSE_REFL, _U32)
+    eta_s = jnp.where(take_st & act, eta_it, 1.0)
+    st_fl = jnp.where(take_di, jnp.uint32(F_DIFFUSE_REFL),
+                      jnp.where(take_st, jnp.uint32(F_GLOSSY_TRANS),
+                                jnp.uint32(F_GLOSSY_REFL)))
+    return wo, jnp.where(act, pdf, 0.0), weight, eta_s, st_fl
 
 
 def _null_sample(wi, u1, u2, p, t0, t1):

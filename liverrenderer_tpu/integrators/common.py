@@ -27,6 +27,9 @@ def _integrator_sample(scene: Scene, sampler, ray, mode="primal"):
     name = scene.integrator
     if name in ("path", "direct", "prb", "prb_basic"):
         return path_mod.sample(scene, sampler, ray, mode=mode)
+    if name == "volprim_rf_basic":
+        from . import volprim as volprim_mod
+        return volprim_mod.sample(scene, sampler, ray, mode=mode)
     if name == "volpathmis" and not volpath_mod._has_bio(scene):
         # true spectral MIS over the per-channel distance-sampling
         # strategies (volpathmis.cpp SpectralMis variant); bio media keep

@@ -15,11 +15,34 @@ import time
 
 import numpy as np
 
-# scene xml -> (golden exr, mask exr or None), paths relative to scenes/
+# scene xml -> (golden image, mask exr or None), paths relative to scenes/.
+# EXR goldens compare in linear radiance; PNG goldens (the reference's
+# committed Mitsuba3-CPU renders, scenes/*/mitsuba3/outputs/) compare in
+# display (sRGB) space — both sides tonemapped identically.
 CONFIGS = {
     "Liver-MultiMesh": ("Liver-MultiMesh/mitsuba3/scene.xml",
                         "Liver-MultiMesh/mitsuba3/scene.exr",
                         "Liver-MultiMesh/mitsuba3/LiverMask-MultiMesh.exr"),
+    "Liver-SingleMesh": (
+        "Liver-SingleMesh/mitsuba3/scene.xml",
+        "Liver-SingleMesh/mitsuba3/outputs/Mitsuba3/CPU/liver-singlemesh.png",
+        None),
+    "GlissonCapsule": (
+        "GlissonCapsule/mitsuba3/scene.xml",
+        "GlissonCapsule/mitsuba3/outputs/Mitsuba3/CPU/glissoncapsule.png",
+        None),
+    "Parenchyma": (
+        "Parenchyma/mitsuba3/scene.xml",
+        "Parenchyma/mitsuba3/outputs/Mitsuba/CPU/parenchyma.png",
+        None),
+    "SphereLiverConstEnv": (
+        "SphereLiverConstEnv/mitsuba3/scene.xml",
+        "SphereLiverConstEnv/mitsuba3/sphereliverconstenv.exr",
+        None),
+    "SphereLiverPoint": (
+        "SphereLiverPoint/mitsuba3/scene.xml",
+        "SphereLiverPoint/mitsuba3/sphereliverpoint.exr",
+        None),
 }
 
 
@@ -38,14 +61,21 @@ def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
         if not os.path.exists(gpath):
             log(f"{name}: golden missing, skipped")
             continue
-        g = lr.read_image(gpath)[..., :3]
+        is_ldr = gpath.lower().endswith(".png")
+        # PNG goldens stay display-encoded; ours gets the same transfer
+        g = lr.read_image(gpath, srgb_to_linear=False)[..., :3]
         h, w = g.shape[0] // downsample, g.shape[1] // downsample
         gd = g.reshape(h, downsample, w, downsample, 3).mean((1, 3))
         scene = lr.load_file(os.path.join(scenes_dir, xml),
                              res_width=w, res_height=h, spp=spp)
         t0 = time.time()
-        img = np.asarray(lr.render(scene, spp=spp, seed=0))
+        img_lin = np.asarray(lr.render(scene, spp=spp, seed=0))
         dt = time.time() - t0
+        if is_ldr:
+            from ..tonemap import tonemap
+            img = tonemap(img_lin)
+        else:
+            img = img_lin
         m = None
         if mask and os.path.exists(os.path.join(scenes_dir, mask)):
             marr = lr.read_image(os.path.join(scenes_dir, mask))[..., 0]
@@ -61,9 +91,18 @@ def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
             entry["rmse_masked"] = rmse(a, b, m)
             entry["ssim_masked"] = ssim(a, b, m)
         table[name] = entry
-        lr.write_image(os.path.join(out_dir, f"{name.lower()}_ours.png"),
-                       img)
-        lr.write_image(os.path.join(out_dir, f"{name.lower()}_ref.png"), gd)
+        # write_image expects LINEAR data for PNGs (applies sRGB itself)
+        if is_ldr:
+            from PIL import Image
+            Image.fromarray((a * 255 + 0.5).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{name.lower()}_ours.png"))
+            Image.fromarray((b * 255 + 0.5).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{name.lower()}_ref.png"))
+        else:
+            lr.write_image(
+                os.path.join(out_dir, f"{name.lower()}_ours.png"), img)
+            lr.write_image(
+                os.path.join(out_dir, f"{name.lower()}_ref.png"), gd)
         log(f"{name}: rmse {entry['rmse']:.4f} ssim {entry['ssim']:.4f} "
             f"({dt:.1f}s)")
 

@@ -428,18 +428,43 @@ class _Builder:
                                   | _FGT,
                                   twosided=True)
         elif t == "principled":
+            # src/bsdfs/principled.cpp full Disney model; scalar params
+            # (textured slots fall back to their defaults)
             from .ir import BSDF_PRINCIPLED
-            p[0] = float(d.get("metallic", 0.0)) \
-                if not isinstance(d.get("metallic"), dict) else 0.0
-            p[1] = float(d.get("roughness", 0.5)) \
-                if not isinstance(d.get("roughness"), dict) else 0.5
-            p[2] = float(d.get("specular", 0.5))
-            p[3] = float(d.get("clearcoat", 0.0)) \
-                if not isinstance(d.get("clearcoat"), dict) else 0.0
+            from .ir import F_GLOSSY_TRANS as _FGT
+
+            def _sf(key, dflt):
+                v = d.get(key, dflt)
+                return float(v) if not isinstance(v, dict) else dflt
+
+            p[0] = _sf("metallic", 0.0)
+            p[1] = _sf("roughness", 0.5)
+            strans = _sf("spec_trans", 0.0)
+            if "eta" in d:
+                eta = _sf("eta", 1.5)
+                if strans > 0.0 and eta == 1.0:
+                    eta = 1.001          # principled.cpp:224 plausibility
+            else:
+                spec = _sf("specular", 0.5)
+                if strans > 0.0 and spec == 0.0:
+                    spec = 1e-3          # principled.cpp:229
+                eta = 2.0 / (1.0 - np.sqrt(0.08 * spec)) - 1.0
+            p[2] = eta
+            p[3] = _sf("clearcoat", 0.0)
+            p[4] = _sf("clearcoat_gloss", 0.0)
+            p[5] = _sf("anisotropic", 0.0)
+            p[6] = _sf("sheen", 0.0)
+            p[7] = _sf("sheen_tint", 0.0)
+            p[8] = strans
+            p[9] = _sf("flatness", 0.0)
+            p[10] = _sf("spec_tint", 0.0)
             tex0 = self.build_texture(d.get("base_color", 0.5), 0.5)
+            flags = F_GLOSSY_REFL | F_DIFFUSE_REFL
+            if strans > 0.0:
+                flags |= _FGT
             idx = self._push_bsdf(BSDF_PRINCIPLED, p, tex0=tex0,
-                                  flags=F_GLOSSY_REFL | F_DIFFUSE_REFL,
-                                  twosided=twosided)
+                                  flags=flags,
+                                  twosided=twosided and strans == 0.0)
         elif t == "measured":
             # src/bsdfs/measured.cpp: RGL data-driven material
             from .ir import BSDF_MEASURED
@@ -949,6 +974,31 @@ class _Builder:
                                     faces.reshape(-1, 3).astype(np.int32),
                                     wn.reshape(-1, 3),
                                     np.zeros((n_e * n_v, 2), np.float32))
+                if "opacities" in d or "sh_coeffs" in d:
+                    # 3DGS attributes for the volprim_rf_basic integrator
+                    # (ellipsoids.cpp attribute buffers "opacities"/
+                    # "sh_coeffs"; volprim_rf_basic.py:49-98 consumes them)
+                    if not hasattr(self, "vp_center"):
+                        self.vp_center, self.vp_scale, self.vp_rot = [], [], []
+                        self.vp_opacity, self.vp_sh, self.vp_tri = [], [], []
+                    op = np.asarray(d.get("opacities",
+                                          np.ones(n_e)),
+                                    np.float32).reshape(-1)
+                    shc = np.asarray(d.get("sh_coeffs",
+                                           np.zeros((n_e, 3))),
+                                     np.float32).reshape(n_e, -1, 3)
+                    ell_base = sum(len(c) for c in self.vp_center)
+                    tris_per = len(bf)
+                    self.vp_center.append(centers)
+                    self.vp_scale.append(scales * extent)
+                    self.vp_rot.append(R.astype(np.float32))
+                    self.vp_opacity.append(op)
+                    self.vp_sh.append(shc)
+                    tri_start = sum(len(f) for f in self.faces)
+                    self.vp_tri.append(
+                        (tri_start,
+                         ell_base + np.repeat(np.arange(n_e, dtype=np.int32),
+                                              tris_per)))
             else:
                 raise ValueError(f"unknown shape type {t}")
             mesh = mesh.transformed(to_w)
@@ -1417,6 +1467,31 @@ class _Builder:
                 params=jnp.zeros((1, 8)), poly=jnp.zeros((1, 3, 20)),
                 weights=None, enabled=False)
 
+        if hasattr(self, "vp_center"):
+            from .ir import VolPrims
+            sh_all = self.vp_sh
+            K = max(s.shape[1] for s in sh_all)
+            sh_pad = [np.pad(s, ((0, 0), (0, K - s.shape[1]), (0, 0)))
+                      for s in sh_all]
+            tri_ell = np.full((max(n_tris_real, 1),), -1, np.int32)
+            for start, arr in self.vp_tri:
+                tri_ell[start:start + len(arr)] = arr
+            volprims = VolPrims(
+                center=jnp.asarray(np.concatenate(self.vp_center),
+                                   jnp.float32),
+                scale=jnp.asarray(np.concatenate(self.vp_scale), jnp.float32),
+                rot=jnp.asarray(np.concatenate(self.vp_rot), jnp.float32),
+                opacity=jnp.asarray(np.concatenate(self.vp_opacity),
+                                    jnp.float32),
+                sh=jnp.asarray(np.concatenate(sh_pad), jnp.float32),
+                tri_ell=jnp.asarray(tri_ell),
+                count=sum(len(c) for c in self.vp_center),
+                sh_degree=int(np.sqrt(K)) - 1,
+                srgb=getattr(self, "srgb_primitives", True))
+        else:
+            from .ir import _empty_volprims
+            volprims = _empty_volprims()
+
         from .ir import (F_SMOOTH, MEDIUM_GLISSON)
         used_bsdfs = set(self.s_bsdf)
         needs_surface_nee = bool(self.e_type) and any(
@@ -1472,6 +1547,7 @@ class _Builder:
             # 1M-lane wavefront ~180ms vs ~100ms intersect); opt-in only
             ray_sort=False,
             measured=measured_tbl,
+            volprims=volprims,
             bsdfs=bsdfs, emitters=emitters, textures=textures, media=media,
             bvh=bvh, sensor=sensor, ssub=ssub_table,
             n_shapes=n_s, n_tris=n_tris_real,
@@ -1673,13 +1749,16 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
         t = val.get("type")
         if t in ("path", "volpath", "volpathmis", "biovolpath",
                  "biovolpath06", "direct", "prb", "prbvolpath", "prb_basic",
-                 "aov", "depth", "moment", "ptracer", "stokes"):
+                 "aov", "depth", "moment", "ptracer", "stokes",
+                 "volprim_rf_basic"):
             b.integrator = t
-            b.max_depth = int(val.get("max_depth", 8))
+            b.max_depth = int(val.get("max_depth",
+                                      64 if t == "volprim_rf_basic" else 8))
             if b.max_depth < 0:
                 b.max_depth = 64
             b.rr_depth = int(val.get("rr_depth", 5))
             b.hide_emitters = bool(val.get("hide_emitters", False))
+            b.srgb_primitives = bool(val.get("srgb_primitives", True))
         elif t in ("perspective", "thinlens", "orthographic", "distant",
                    "radiancemeter", "irradiancemeter", "batch"):
             b.build_sensor(val)

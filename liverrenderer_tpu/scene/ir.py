@@ -313,6 +313,34 @@ class SubsurfaceTable:
 
 
 @struct.dataclass
+class VolPrims:
+    """Volumetric (Gaussian-splat) primitive table for the radiance-field
+    integrator (reference src/shapes/ellipsoids*.cpp attribute storage +
+    ad/integrators/volprim_rf_basic.py).
+
+    Each ellipsoids-shape row carries the 3DGS parameters; tri_ell maps
+    every triangle of the instanced-icosphere tessellation back to its
+    ellipsoid so the wavefront can fetch (center, scale, rot, opacity,
+    sh) from the hit prim id in one gather."""
+    center: Array    # (N, 3)
+    scale: Array     # (N, 3)
+    rot: Array       # (N, 3, 3) quaternion-derived rotation
+    opacity: Array   # (N,)
+    sh: Array        # (N, K, 3) SH coefficients, K = (deg+1)^2
+    tri_ell: Array   # (T,) int32 triangle -> ellipsoid index, -1 none
+    count: int = static_field(default=0)
+    sh_degree: int = static_field(default=0)
+    srgb: bool = static_field(default=True)
+
+
+def _empty_volprims() -> "VolPrims":
+    return VolPrims(center=jnp.zeros((1, 3)), scale=jnp.ones((1, 3)),
+                    rot=jnp.eye(3)[None], opacity=jnp.zeros((1,)),
+                    sh=jnp.zeros((1, 1, 3)),
+                    tri_ell=jnp.full((1,), -1, jnp.int32))
+
+
+@struct.dataclass
 class Sensor:
     """Camera (reference src/sensors/{perspective,thinlens,
     orthographic}.cpp)."""
@@ -395,6 +423,7 @@ class Scene:
     vertex_attrs: Array = struct.field(
         default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
     measured: MeasuredTable = struct.field(default_factory=MeasuredTable)
+    volprims: VolPrims = struct.field(default_factory=_empty_volprims)
     # SDF grid shapes (reference src/shapes/sdfgrid.cpp): signed-distance
     # values on a [0,1]^3-local grid, sphere-traced in the intersector
     sdf_grids: Array = struct.field(          # (K, D, H, W) padded

@@ -117,6 +117,12 @@ _LEAVES: Dict[str, tuple] = {
     "media.grids": (lambda s: s.media.grids,
                     lambda s, v: s.replace(media=s.media.replace(grids=v))),
     "vertices": (lambda s: s.vertices, refresh_vertex_geometry),
+    "volprims.opacity": (
+        lambda s: s.volprims.opacity,
+        lambda s, v: s.replace(volprims=s.volprims.replace(opacity=v))),
+    "volprims.sh": (
+        lambda s: s.volprims.sh,
+        lambda s, v: s.replace(volprims=s.volprims.replace(sh=v))),
 }
 
 

@@ -66,3 +66,56 @@ def test_pallas_respects_maxt(np_rng):
         t_near, p_near, _, _, _ = ray_intersect_preliminary(
             scene.replace(intersector="pallas"), near)
     assert (np.asarray(p_near) < 0).all()
+
+
+def test_streaming_kernel_matches_numpy(np_rng, monkeypatch):
+    """Triangle sets past the VMEM-resident cap route through the
+    streaming kernel (SUPER_T blocks pipelined from HBM, closest hit
+    accumulated in the output across grid steps).  Block sizes are
+    shrunk so interpret mode exercises >1 superblock; results must match
+    a numpy Moeller-Trumbore sweep exactly."""
+    import liverrenderer_tpu.accel.pallas_intersect as pk
+    monkeypatch.setattr(pk, "MAX_VMEM_TRIS", 512)
+    monkeypatch.setattr(pk, "SUPER_T", 512)
+
+    T, R = 1500, 256
+    v0 = np_rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    v1 = v0 + np_rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
+    v2 = v0 + np_rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
+    buf, boxes, kperm = pk.pack_tris(v0, v1, v2)
+    assert buf.shape[0] == 1536 and buf.shape[0] % pk.SUPER_T == 0
+
+    o = np_rng.uniform(-2, 2, (R, 3)).astype(np.float32)
+    aim = np_rng.uniform(-0.6, 0.6, (R, 3)).astype(np.float32)
+    d = aim - o                          # aim into the triangle cloud
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    with pltpu.force_tpu_interpret_mode():
+        t, prim, _, _ = pk.intersect_tris(
+            jnp.asarray(buf), jnp.asarray(boxes), jnp.asarray(kperm),
+            jnp.asarray(o), jnp.asarray(d), jnp.full((R,), np.inf),
+            jnp.full((R,), np.inf))
+    t, prim = np.asarray(t), np.asarray(prim)
+
+    # numpy closest-hit reference
+    e1, e2 = v1 - v0, v2 - v0
+    pv = np.cross(d[:, None], e2[None])              # (R, T, 3)
+    det = np.einsum("tj,rtj->rt", e1, pv)
+    inv = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0)
+    tv = o[:, None] - v0[None]
+    u = np.einsum("rtj,rtj->rt", tv, pv) * inv
+    qv = np.cross(tv, e1[None])
+    v = np.einsum("rj,rtj->rt", d, qv) * inv
+    tt = np.einsum("tj,rtj->rt", e2, qv) * inv
+    hit = (np.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) \
+        & (tt > 0)
+    tt = np.where(hit, tt, np.inf)
+    t_ref = tt.min(1)
+    p_ref = np.where(np.isfinite(t_ref), tt.argmin(1), -1)
+
+    has = p_ref >= 0
+    assert has.sum() > 50
+    np.testing.assert_array_equal(prim >= 0, has)
+    np.testing.assert_allclose(t[has], t_ref[has], rtol=2e-5, atol=1e-6)
+    same = prim[has] == p_ref[has]
+    assert same.mean() > 0.99          # ties on shared edges may differ
