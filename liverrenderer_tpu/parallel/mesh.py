@@ -88,18 +88,31 @@ def init_distributed(coordinator: str | None = None,
 
 
 def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
-                 seed: int = 0, mode: str = "primal"):
+                 seed: int = 0, mode: str = "primal",
+                 interleave: bool | None = None):
     """Pixel-sharded distributed render: each device renders a horizontal
     film slab at FULL spp and keeps its shard — no collective in the
     forward pass at all; the gather happens implicitly when the sharded
     film is assembled (film shard-gather at develop, SURVEY §2.5).
     Complements `render_sharded` (sample-sharded, psum-merged): tile
-    sharding scales film memory, sample sharding scales spp."""
+    sharding scales film memory, sample sharding scales spp.
+
+    Load balance: with ``interleave`` (default whenever the filter
+    footprint is one pixel), device d owns rows d, d+N, d+2N, ... instead
+    of one contiguous slab — an expensive image region (e.g. the liver
+    filling the lower half of the frame) is spread across all devices
+    instead of stalling the slab that contains it.  Wider filters need
+    contiguous slabs (their splat crosses row boundaries) and fall back
+    to the static split."""
     spp = spp or scene.spp
     n_dev = mesh.devices.size
     h, w = scene.film_h, scene.film_w
     assert h % n_dev == 0, f"film height {h} must divide over {n_dev}"
     rows = h // n_dev
+    if interleave is None:
+        interleave = film_mod.filter_radius(scene.rfilter) == 0
+    assert not (interleave and film_mod.filter_radius(scene.rfilter) > 0), \
+        "interleaved tiling needs a 1px filter footprint (box)"
 
     def local(scene, seed):
         dev = jax.lax.axis_index(AXIS)
@@ -113,8 +126,11 @@ def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
         from ..integrators.common import _integrator_sample
         lane = jnp.arange(n, dtype=jnp.uint32)
         pix_local = lane // spp
-        py = (pix_local // w).astype(jnp.uint32) + dev.astype(jnp.uint32) \
-            * rows
+        row_local = (pix_local // w).astype(jnp.uint32)
+        if interleave:
+            py = row_local * jnp.uint32(n_dev) + dev.astype(jnp.uint32)
+        else:
+            py = row_local + dev.astype(jnp.uint32) * rows
         px = (pix_local % w).astype(jnp.uint32)
         pix_global = py * w + px
         samp = lane % spp
@@ -126,8 +142,10 @@ def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
         ray = sample_ray(scene, pos)
         L, valid, _ = _integrator_sample(scene, sampler, ray, mode=mode)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
-        # local splat into the slab (box): pos rebased to slab rows
-        pos_local = pos.at[:, 1].add(-(dev * rows).astype(jnp.float32))
+        # local splat into the slab: pos rebased to this device's rows
+        pos_local = jnp.stack(
+            [pos[:, 0], row_local.astype(jnp.float32) + (pos[:, 1] % 1.0)],
+            -1)
         acc = film_mod.splat(w, rows, scene.rfilter, pos_local, L)
         return acc
 
@@ -136,9 +154,51 @@ def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
 
     @jax.jit
     def run(sc, sd):
-        return film_mod.develop(fn(sc, sd))
+        acc = fn(sc, sd)
+        if interleave:
+            # gathered order is dev-major (dev, local); image row
+            # local * n_dev + dev -> transpose back to scanline order
+            c = acc.shape[-1]
+            acc = acc.reshape(n_dev, rows, w, c).transpose(1, 0, 2, 3) \
+                     .reshape(h, w, c)
+        return film_mod.develop(acc)
 
     return run(scene, jnp.asarray(seed, jnp.uint32))
+
+
+def measure_scaling(scene: Scene, n_devices: int | None = None,
+                    spp: int = 16, seed: int = 0, reps: int = 3) -> dict:
+    """Wall-clock scaling proxy on whatever devices exist (virtual CPU
+    mesh or a real slice): render a FIXED total workload on a 1-device
+    mesh and on the full mesh; efficiency = t1 / (tN * N) on real chips.
+
+    On the virtual CPU mesh all "devices" share one host, so the ideal
+    is equal wall-clock (the same total flops) and the reported
+    ``efficiency_proxy`` = t1 / tN measures pure sharding/collective
+    overhead (1.0 = the mesh partitioning costs nothing).  BASELINE.md
+    target: >= 0.8 at >= 2 hosts."""
+    import time
+
+    n = n_devices or len(jax.devices())
+    mesh1 = make_mesh(1)
+    meshN = make_mesh(n)
+
+    def timed(mesh):
+        render_sharded(scene, mesh, spp=spp, seed=seed).block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(reps):
+            render_sharded(scene, mesh, spp=spp,
+                           seed=seed + 1 + i).block_until_ready()
+        return (time.perf_counter() - t0) / reps
+
+    t1, tn = timed(mesh1), timed(meshN)
+    same_host = len({d.process_index for d in jax.devices()[:n]}) == 1 and \
+        jax.devices()[0].platform == "cpu"
+    eff = t1 / tn if same_host else t1 / (tn * n)
+    return {"n_devices": n, "t_1dev_s": round(t1, 4),
+            "t_ndev_s": round(tn, 4),
+            "efficiency_proxy" if same_host else "efficiency":
+                round(eff, 4)}
 
 
 def make_train_step(scene: Scene, mesh: Mesh, loss_fn, optimizer,

@@ -34,6 +34,28 @@ def test_pixel_tiled_matches_single(scene):
     np.testing.assert_allclose(img, ref, atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pixel_tiled_interleaved_matches_contiguous(scene):
+    """Round-robin row assignment (load-balanced) must produce the same
+    image as the static slab split — only the device->row mapping moves."""
+    mesh = make_mesh(8)
+    a = np.asarray(render_tiled(scene, mesh, spp=8, seed=0,
+                                interleave=True))
+    b = np.asarray(render_tiled(scene, mesh, spp=8, seed=0,
+                                interleave=False))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_measure_scaling_smoke(scene):
+    from liverrenderer_tpu.parallel.mesh import measure_scaling
+    stats = measure_scaling(scene, 8, spp=8, reps=1)
+    assert stats["n_devices"] == 8
+    key = ("efficiency_proxy" if "efficiency_proxy" in stats
+           else "efficiency")
+    assert stats[key] > 0.0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
     import optax
