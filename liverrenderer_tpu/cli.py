@@ -31,6 +31,9 @@ def main(argv=None):
                     help="comma-separated AOV names instead of radiance")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace (XLA ops, "
+                         "TPU occupancy) into DIR for TensorBoard")
     ap.add_argument("--sensor-medium", dest="unused", default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
@@ -65,6 +68,11 @@ def main(argv=None):
                            base + "_render.exr")
 
     t1 = time.time()
+    trace_ctx = None
+    if args.trace:
+        from .log import device_trace
+        trace_ctx = device_trace(args.trace)
+        trace_ctx.__enter__()
     if args.aovs:
         aovs = lr.render_aovs(scene, tuple(args.aovs.split(",")),
                               seed=args.seed)
@@ -81,6 +89,8 @@ def main(argv=None):
         if out.lower().endswith(".exr"):
             lr.write_image(os.path.splitext(out)[0] + ".png", img)
         log(f"wrote {out}")
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
     t2 = time.time()
 
     # LiverRenderer.py time.txt convention (:374-380)

@@ -59,19 +59,49 @@ class ProgressReporter:
 
 _phase_totals: dict = defaultdict(float)
 _phase_counts: dict = defaultdict(int)
+_xprof = False
 
 
 @contextmanager
 def scoped_phase(name: str):
     """RAII phase marker (profiler.h ScopedPhase): accumulates wall time
-    per phase; `phase_report()` prints the per-stage summary."""
+    per phase; `phase_report()` prints the per-stage summary.  While a
+    device trace is active (`device_trace`), each phase also emits a
+    jax.profiler TraceAnnotation so the spans line up with the XLA
+    device timeline in the captured profile."""
     t0 = time.time()
+    ctx = None
+    if _xprof:
+        import jax
+        ctx = jax.profiler.TraceAnnotation(name)
+        ctx.__enter__()
     try:
         yield
     finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
         dt = time.time() - t0
         _phase_totals[name] += dt
         _phase_counts[name] += 1
+
+
+@contextmanager
+def device_trace(log_dir: str):
+    """Capture a device-level profile (XLA ops, TPU occupancy, HBM
+    traffic) into ``log_dir`` for TensorBoard/xprof — the hardware-level
+    half of the reference's profiler.h sample-based profiler, which only
+    saw CPU stacks.  Phase markers taken inside the block become
+    TraceAnnotations on the same timeline.  CLI: `--trace DIR`."""
+    global _xprof
+    import jax
+    jax.profiler.start_trace(log_dir)
+    _xprof = True
+    try:
+        yield
+    finally:
+        _xprof = False
+        jax.profiler.stop_trace()
+        log(f"device trace written to {log_dir}")
 
 
 def phase_report() -> str:

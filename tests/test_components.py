@@ -353,3 +353,20 @@ def test_xml_matrix_comma_separators(tmp_path):
     scene = lr.load_file(str(f))
     tw = np.asarray(scene.sensor.to_world)
     assert abs(tw[1, 3] - 0.5) < 1e-6 and abs(tw[2, 3] + 3.0) < 1e-6
+
+
+def test_device_trace_captures_profile(tmp_path):
+    """log.device_trace wraps jax.profiler start/stop_trace and turns
+    scoped_phase markers into TraceAnnotations on the device timeline
+    (profiler.h ScopedPhase -> hardware-level xprof capture)."""
+    import jax.numpy as jnp
+
+    from liverrenderer_tpu.log import device_trace, scoped_phase
+
+    out = str(tmp_path / "trace")
+    with device_trace(out):
+        with scoped_phase("test_phase"):
+            jnp.dot(jnp.ones((64, 64)), jnp.ones((64, 64))).block_until_ready()
+    import glob
+    assert glob.glob(out + "/**/*.xplane.pb", recursive=True) or \
+        glob.glob(out + "/**/*.trace.json*", recursive=True)
