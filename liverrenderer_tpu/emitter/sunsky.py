@@ -110,9 +110,33 @@ def preetham_envmap(turbidity: float = 3.0, sun_dir=None,
     ground = rgb[np.abs(theta - np.pi / 2).argmin(), :, :].mean(0) * 0.3
     rgb[below] = ground
 
-    # sun disc (~0.545 deg diameter)
-    sun_cos = np.cos(np.deg2rad(0.2725))
-    disc = cos_g > sun_cos
-    sun_lum = 400.0 * (1.0 - (T - 2.0) * 0.06)       # crude extinction
-    rgb[disc] += np.array([1.0, 0.96, 0.88]) * sun_lum * sun_scale
+    # sun disc (~0.545 deg diameter).  The disc is far smaller than an
+    # envmap texel at bake resolutions (0.27 deg radius vs ~1.4 deg
+    # texels at res=128), so a cos-threshold mask usually selects ZERO
+    # texels and the sun silently disappears.  Instead deposit the
+    # disc's power solid-angle-correctly: every texel receives the disc
+    # radiance scaled by (disc solid angle overlapping the texel) /
+    # (texel solid angle) — approximated by splatting the full disc
+    # into the containing texel — so irradiance is invariant to res.
+    if sun_scale > 0.0:
+        # direct-normal spectral transmittance (the Rayleigh + aerosol
+        # terms of Preetham A.1's sun model; ozone/gas/vapor corrections
+        # are a few percent and omitted) at effective RGB wavelengths
+        lam = np.array([0.61, 0.545, 0.465])          # um
+        th_deg = np.rad2deg(theta_s)
+        m_air = 1.0 / (np.cos(theta_s)
+                       + 0.15 * (93.885 - th_deg) ** -1.253)
+        beta = 0.04608 * T - 0.04586                  # Preetham turbidity
+        tau = np.exp(-m_air * (0.008735 * lam ** -4.08
+                               + beta * lam ** -1.3))
+        # extraterrestrial direct-normal illuminance ~128 klux; map units
+        # are kcd/m^2, so the disc's irradiance in map units is E0 * tau
+        e_sun = 128.0 * tau
+        theta_sun = np.arccos(np.clip(sun_dir[1], -1, 1))
+        phi_sun = np.arctan2(sun_dir[0], -sun_dir[2])
+        i = min(int(theta_sun / np.pi * h), h - 1)
+        j = min(int((phi_sun + np.pi) / (2 * np.pi) * w), w - 1)
+        omega_texel = (np.pi / h) * (2 * np.pi / w) * max(np.sin(TH[i, j]),
+                                                          1e-4)
+        rgb[i, j] += e_sun * sun_scale / omega_texel
     return rgb.astype(np.float32)
