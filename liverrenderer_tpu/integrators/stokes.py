@@ -10,11 +10,14 @@ event's polarization transfer is applied as a normalized Mueller matrix
 (M00 = 1) times the scalar weight — S0 therefore matches the unpolarized
 renderer exactly, and S1..S3 carry the polarization state.
 
-Estimator: BSDF-sampling path tracing (no NEE) — the usual regime for the
-stokes integrator's specular/polarizer analysis scenes.  Stokes vectors
-are expressed in the canonical basis of each ray (core/mueller.py
-stokes_basis) with light travelling along -ray.d; the film output is in
-the primary ray's canonical basis.
+Estimator: path tracing with NEE + MIS (mirroring integrators/path.py's
+balance-heuristic structure): emitter hits are weighted against the
+emitter-sampling pdf, and each smooth vertex adds a light connection
+whose polarization transfer (the same _event_mueller as the sampled
+event, with the connection direction) is applied to the unpolarized
+emitter Stokes vector.  Stokes vectors are expressed in the canonical
+basis of each ray (core/mueller.py stokes_basis) with light travelling
+along -ray.d; the film output is in the primary ray's canonical basis.
 
 Polarizing events: smooth/rough conductor + smooth dielectric reflection
 (s/p Fresnel Mueller, mueller.h specular_reflection), linear polarizer /
@@ -28,16 +31,19 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..accel.intersect import ray_intersect
-from ..bsdf.dispatch import bsdf_sample
+from ..accel.intersect import ray_intersect, ray_test
+from ..bsdf.dispatch import bsdf_eval_pdf, bsdf_sample
 from ..core import math as m
 from ..core import mueller as mu
 from ..core.rng import Sampler, make_sampler
 from ..core.types import Ray
 from ..scene.ir import (BSDF_CIRCULAR, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
                         BSDF_POLARIZER, BSDF_RETARDER, BSDF_ROUGHCONDUCTOR,
-                        F_DELTA_REFL, F_GLOSSY_REFL, Scene)
-from ..emitter.dispatch import eval_emitter_hit, eval_environment
+                        F_DELTA, F_DELTA_REFL, F_GLOSSY_REFL, F_SMOOTH,
+                        Scene)
+from ..emitter.dispatch import (eval_emitter_hit, eval_environment,
+                                pdf_emitter_direction,
+                                sample_emitter_direction)
 from ..sensor.perspective import sample_ray
 from .shading import shading_frame_with_bump
 
@@ -52,14 +58,19 @@ class PolState:
     ray_d: Array
     S: Array           # (N, 3, 4) accumulated camera Stokes per channel
     T: Array           # (N, 3, 4, 4) Mueller path throughput
+    prev_p: Array      # (N, 3) previous vertex (emitter-pdf reference)
+    prev_pdf: Array    # (N,) bsdf pdf of the ray that produced this hit
+    prev_smooth: Array  # (N,) last event was non-delta (MIS-countable)
     sampler: Sampler
 
 
-def _event_mueller(scene: Scene, si, bs, d_in_light, d_out_light, basis_in,
-                   basis_out):
-    """Normalized (M00=1) Mueller matrix of the sampled event, expressed
-    from the canonical basis of the incoming light ray to the canonical
-    basis of the outgoing (camera-side) ray."""
+def _event_mueller(scene: Scene, si, refl, d_in_light, d_out_light,
+                   basis_in, basis_out):
+    """Normalized (M00=1) Mueller matrix of a scattering event (sampled
+    OR a NEE connection), expressed from the canonical basis of the
+    incoming light ray to the canonical basis of the outgoing
+    (camera-side) ray.  `refl` marks lanes whose event is a reflection
+    (Fresnel polarization applies); everything else depolarizes."""
     n = d_in_light.shape[0]
     bidx = jnp.maximum(m.table_lookup(scene.shape_bsdf,
                                       jnp.maximum(si.shape, 0)), 0)
@@ -103,7 +114,6 @@ def _event_mueller(scene: Scene, si, bs, d_in_light, d_out_light, basis_in,
             sel = sel | (btype == ftype)
         # dielectric transmission keeps the scalar weight but depolarizes
         # (refraction phase out of scope round 1)
-        refl = (bs.sampled_type & (F_DELTA_REFL | F_GLOSSY_REFL)) != 0
         sel = sel & refl
         M = jnp.where(sel[:, None, None, None], M_f, M)
 
@@ -151,32 +161,70 @@ def bounce(scene: Scene, st: PolState) -> PolState:
     ray = Ray(o=st.ray_o, d=st.ray_d, maxt=jnp.full((n,), jnp.inf))
     si = ray_intersect(scene, ray)
     si = shading_frame_with_bump(scene, si, ray)
+    bidx = m.table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
 
-    # unpolarized emission through the Mueller path: S += c * T[..., :, 0]
+    # ------- emission gathered along the bsdf ray, MIS-weighted ----------
+    # (unpolarized sources: S += T[..., :, 0] * Le * mis)
     em_val, eidx = eval_emitter_hit(scene, si, ray.d)
     env_val = eval_environment(scene, ray.d)
+    escaped = ~si.valid
+    if scene.emitters.env_index >= 0:
+        eidx_mis = jnp.where(escaped,
+                             jnp.full((n,), scene.emitters.env_index,
+                                      jnp.int32), eidx)
+    else:
+        eidx_mis = eidx
+    count_direct = (st.depth == 0) | ~st.prev_smooth
+    em_pdf = pdf_emitter_direction(scene, st.prev_p, eidx_mis, si.p,
+                                   si.ng, ray.d)
+    em_pdf = jnp.where(count_direct, 0.0, em_pdf)
+    mis_bsdf = m.mis_weight(st.prev_pdf, em_pdf)
     contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0) \
-        + jnp.where((~si.valid)[:, None], env_val, 0.0)
+        + jnp.where(escaped[:, None], env_val, 0.0)
     S = st.S + jnp.where(active[:, None, None],
-                         st.T[..., :, 0] * contrib[:, :, None], 0.0)
+                         st.T[..., :, 0]
+                         * (contrib * mis_bsdf[:, None])[:, :, None], 0.0)
 
     active_next = active & si.valid & (st.depth + 1 < scene.max_depth)
+    d_out_light = -ray.d              # light leaves toward the camera
+    basis_out = mu.stokes_basis(d_out_light)
 
-    ub1, sampler = st.sampler.next_1d()
+    # ------- polarized NEE (stokes.cpp nested integrator does NEE via
+    # its wrapped path tracer; here the connection's polarization
+    # transfer is applied to the unpolarized emitter Stokes) -------------
+    flags = m.table_lookup(scene.bsdfs.flags, jnp.maximum(bidx, 0))
+    active_e = active_next & ((flags & F_SMOOTH) != 0)
+    u2, sampler = st.sampler.next_2d()
+    u1, sampler = sampler.next_1d()
+    ds, em_weight = sample_emitter_direction(scene, si.p, u2, u1)
+    nee_valid = active_e & (ds.pdf > 0)
+    sray = si.spawn_ray_to(ds.p)
+    occluded = ray_test(scene, Ray(o=sray.o, d=sray.d, maxt=sray.maxt))
+    nee_valid &= ~occluded
+    wo_local = si.to_local(ds.d)
+    bval, bpdf = bsdf_eval_pdf(scene, si, bidx, wo_local)
+    mis_em = m.mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, bpdf))
+    refl_nee = m.cos_theta(wo_local) * m.cos_theta(si.wi) > 0
+    d_in_nee = -ds.d                  # light travels emitter -> surface
+    M_nee = _event_mueller(scene, si, refl_nee, d_in_nee, d_out_light,
+                           mu.stokes_basis(d_in_nee), basis_out)
+    T_nee = jnp.einsum("ncij,ncjk->ncik", st.T, M_nee)
+    c_nee = bval * em_weight * mis_em[:, None]
+    S = S + jnp.where(nee_valid[:, None, None],
+                      T_nee[..., :, 0] * c_nee[:, :, None], 0.0)
+
+    # ------- BSDF sampling ----------------------------------------------
+    ub1, sampler = sampler.next_1d()
     ub2, sampler = sampler.next_2d()
-    bs = bsdf_sample(scene, si,
-                     m.table_lookup(scene.shape_bsdf,
-                                    jnp.maximum(si.shape, 0)),
-                     ub1, ub2)
+    bs = bsdf_sample(scene, si, bidx, ub1, ub2)
     wo_world = si.to_world(bs.wo)
     new_ray = si.spawn_ray(wo_world)
     alive = active_next & (bs.pdf > 0) & jnp.any(bs.weight != 0.0, -1)
 
     d_in_light = -wo_world            # light arrives along the new ray
-    d_out_light = -ray.d              # and leaves toward the camera
     basis_in = mu.stokes_basis(d_in_light)
-    basis_out = mu.stokes_basis(d_out_light)
-    M = _event_mueller(scene, si, bs, d_in_light, d_out_light,
+    refl_bs = (bs.sampled_type & (F_DELTA_REFL | F_GLOSSY_REFL)) != 0
+    M = _event_mueller(scene, si, refl_bs, d_in_light, d_out_light,
                        basis_in, basis_out)
     T = jnp.einsum("ncij,ncjk->ncik", st.T, M) \
         * bs.weight[:, :, None, None]
@@ -188,6 +236,10 @@ def bounce(scene: Scene, st: PolState) -> PolState:
         ray_d=jnp.where(alive[:, None], new_ray.d, st.ray_d),
         S=S,
         T=jnp.where(alive[:, None, None, None], T, st.T),
+        prev_p=jnp.where(alive[:, None], si.p, st.prev_p),
+        prev_pdf=jnp.where(alive, bs.pdf, st.prev_pdf),
+        prev_smooth=jnp.where(alive, (bs.sampled_type & F_DELTA) == 0,
+                              st.prev_smooth),
         sampler=sampler,
     )
 
@@ -200,6 +252,9 @@ def sample_stokes(scene: Scene, sampler: Sampler, ray: Ray):
         ray_o=ray.o, ray_d=ray.d,
         S=jnp.zeros((n, 3, 4)),
         T=jnp.broadcast_to(jnp.eye(4), (n, 3, 4, 4)),
+        prev_p=ray.o,
+        prev_pdf=jnp.ones((n,)),
+        prev_smooth=jnp.zeros((n,), bool),
         sampler=sampler,
     )
     st = jax.lax.while_loop(

@@ -128,3 +128,38 @@ def test_fresnel_reflection_partially_polarizes():
     scalar = np.asarray(lr.render(lr.load_dict(d2), spp=32, seed=0))
     s0 = img[..., 0, :]
     assert np.abs(s0 - scalar).max() < 5e-2, np.abs(s0 - scalar).max()
+
+
+def test_stokes_s0_matches_path_with_area_light():
+    """NEE consistency: on a small-area-light diffuse scene (where BSDF
+    sampling alone converges slowly) the stokes integrator's S0 must match
+    the path tracer, which shares the same NEE+MIS estimator."""
+    import numpy as np
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "stokes", "max_depth": 3},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": lr.Transform().look_at(
+                origin=[0, 0, 4], target=[0, 0, 0], up=[0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 12, "height": 12,
+                     "rfilter": {"type": "box"}},
+        },
+        "floor": {"type": "rectangle", "bsdf": {"type": "diffuse"}},
+        "lamp": {
+            "type": "rectangle",
+            "to_world": lr.Transform().translate([0, 0, 3.0]).scale(0.15),
+            "emitter": {"type": "area",
+                        "radiance": {"type": "rgb", "value": [40.0] * 3}},
+        },
+    }
+    sc_st = lr.load_dict(d)
+    from liverrenderer_tpu.integrators.stokes import render_stokes
+    S = render_stokes(sc_st, spp=196, seed=0)          # (h, w, 4, 3)
+    d["integrator"] = {"type": "path", "max_depth": 3}
+    sc_pt = lr.load_dict(d)
+    img = np.asarray(lr.render(sc_pt, spp=196, seed=1))
+    s0 = S[..., 0, :]
+    rel = abs(float(s0.mean()) - float(img.mean())) / max(img.mean(), 1e-6)
+    assert rel < 0.05, (s0.mean(), img.mean())
