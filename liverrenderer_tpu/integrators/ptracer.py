@@ -8,9 +8,12 @@ projected pixel position.  TPU design: one wavefront of light paths in a
 bounded scan, camera connections splatted with the same scatter-add film
 as the forward integrators.
 
-Supported emitters for path emission: area (mesh shapes) and point; env /
-directional emission sampling is not implemented (the reference supports
-them through endpoint sampling; scenes in the corpus use area/point).
+Supported emitters for path emission: area (mesh shapes), point, and the
+infinite family (constant / envmap / directional) via
+bounding-sphere-disk endpoint sampling — an incoming direction is drawn
+(uniform sphere / envmap 2D CDF / the delta direction), then a ray
+origin on the perpendicular disk of the scene bounding sphere, weight
+L * pi R^2 / pdf_dir (endpoint.cpp sample_ray for infinite emitters).
 """
 from __future__ import annotations
 
@@ -24,7 +27,8 @@ from ..core import math as m
 from ..core.rng import make_sampler
 from ..core.types import Ray
 from ..core.warp import square_to_cosine_hemisphere
-from ..scene.ir import EMITTER_AREA, EMITTER_POINT, F_DELTA, Scene
+from ..scene.ir import (EMITTER_AREA, EMITTER_CONSTANT, EMITTER_DIRECTIONAL,
+                        EMITTER_ENVMAP, EMITTER_POINT, F_DELTA, Scene)
 from ..sensor.perspective import sample_ray  # noqa: F401 (doc cross-ref)
 
 
@@ -118,6 +122,59 @@ def _sample_emitter_ray(scene: Scene, sampler):
     p0 = jnp.where(is_point[:, None], p_point, p_area)
     d0 = jnp.where(is_point[:, None], d_point, d_area)
     w0 = jnp.where(is_point[:, None], w_point, w_area)
+
+    # ---- infinite emitters (constant / envmap / directional): pick an
+    # incoming direction, then a point on the disk of the scene bounding
+    # sphere perpendicular to it (endpoint.cpp sample_ray for infinite
+    # emitters: pdf_pos = 1/(pi R^2), weight = L * pi R^2 / pdf_dir) ----
+    tp = set(em.types_present)
+    inf_types = tp & {EMITTER_CONSTANT, EMITTER_ENVMAP, EMITTER_DIRECTIONAL}
+    if inf_types:
+        c = 0.5 * (scene.vertices.min(0) + scene.vertices.max(0))
+        radius = jnp.maximum(
+            jnp.sqrt(jnp.sum((scene.vertices - c) ** 2, -1)).max(), 1e-3)
+        u_disk, sampler = sampler.next_2d()
+        # dd: direction from the scene toward the emitter
+        dd = -d_point                                  # uniform sphere
+        w_inf = prm[:, 0:3] * (4.0 * jnp.pi)           # constant: L*4pi
+        if EMITTER_ENVMAP in tp:
+            from .. import emitter as _em_pkg  # noqa: F401 (pkg init)
+            from ..emitter.dispatch import _env_radiance
+            pos_lm, cell_pdf = em.env_distr.sample(u_dir)
+            gh, gw = em.env_distr.data.shape
+            phi = pos_lm[..., 0] / gw * (2 * jnp.pi)
+            theta = pos_lm[..., 1] / gh * jnp.pi
+            s_t = jnp.sin(theta)
+            d_loc = jnp.stack([s_t * jnp.sin(phi), jnp.cos(theta),
+                               -s_t * jnp.cos(phi)], -1)
+            tw = m.table_lookup(em.to_world, eidx)
+            dd_env = jnp.einsum("nij,nj->ni", tw[:, :3, :3], d_loc)
+            pdf_env = cell_pdf * (gh * gw) \
+                / (2.0 * jnp.pi * jnp.pi * jnp.maximum(s_t, 1e-6))
+            rad_env = _env_radiance(scene, eidx, dd_env)
+            sel_env = etype == EMITTER_ENVMAP
+            dd = jnp.where(sel_env[:, None], dd_env, dd)
+            w_inf = jnp.where(sel_env[:, None],
+                              rad_env / jnp.maximum(pdf_env, 1e-12)[:, None],
+                              w_inf)
+        if EMITTER_DIRECTIONAL in tp:
+            sel_dir = etype == EMITTER_DIRECTIONAL
+            dd = jnp.where(sel_dir[:, None], -prm[:, 0:3], dd)
+            w_inf = jnp.where(sel_dir[:, None], prm[:, 3:6], w_inf)
+        # disk origin outside the scene, perpendicular to dd
+        fr_d = m.make_frame(dd)
+        from ..core.warp import square_to_uniform_disk_concentric
+        dk = square_to_uniform_disk_concentric(u_disk) * radius
+        p_inf = c[None, :] + dd * (1.5 * radius) \
+            + dk[:, 0:1] * fr_d.s + dk[:, 1:2] * fr_d.t
+        w_inf = w_inf * (jnp.pi * radius * radius)
+        is_inf = jnp.zeros(etype.shape, bool)
+        for it in inf_types:
+            is_inf = is_inf | (etype == it)
+        p0 = jnp.where(is_inf[:, None], p_inf, p0)
+        d0 = jnp.where(is_inf[:, None], -dd, d0)
+        w0 = jnp.where(is_inf[:, None], w_inf, w0)
+
     w0 = w0 / jnp.maximum(sel_pdf, 1e-12)[:, None]
     n0 = jnp.where(is_point[:, None], d0, n_area)
     return p0, d0, w0, n0, sampler

@@ -370,3 +370,44 @@ def test_device_trace_captures_profile(tmp_path):
     import glob
     assert glob.glob(out + "/**/*.xplane.pb", recursive=True) or \
         glob.glob(out + "/**/*.trace.json*", recursive=True)
+
+
+def _plane_light_scene(emitters):
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": lr.Transform().look_at([0, 0, 4], [0, 0, 0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                     "rfilter": {"type": "box"}},
+        },
+        "floor": {"type": "rectangle",
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "rgb",
+                                           "value": [0.6, 0.5, 0.4]}}},
+    }
+    d.update(emitters)
+    return lr.load_dict(d)
+
+
+@pytest.mark.parametrize("emitters", [
+    {"env": {"type": "constant",
+             "radiance": {"type": "rgb", "value": [0.8, 0.7, 0.9]}}},
+    {"sun": {"type": "directional", "direction": [0.3, -0.2, -1.0],
+             "irradiance": {"type": "rgb", "value": [2.0, 1.8, 1.5]}}},
+])
+def test_ptracer_infinite_emitters_match_path(emitters):
+    """Light tracing from constant-env / directional emitters
+    (bounding-sphere-disk endpoint sampling) agrees with the forward
+    path tracer on the scattered light."""
+    scene = _plane_light_scene(emitters)
+    pt = np.asarray(lr.render_ptracer(scene, spp=256, seed=0))
+    fw = np.asarray(lr.render(scene.replace(hide_emitters=True), spp=64,
+                              seed=0))
+    # compare where the plane projects (the env itself is not splatted)
+    c_pt = pt[8:16, 8:16].mean()
+    c_fw = fw[8:16, 8:16].mean()
+    assert c_fw > 0.01
+    assert abs(c_pt - c_fw) / c_fw < 0.08, (c_pt, c_fw)
