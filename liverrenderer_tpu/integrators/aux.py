@@ -67,6 +67,11 @@ def render_aovs(scene: Scene, aovs=("depth", "position", "sh_normal",
                               m.table_lookup(scene.shape_bsdf,
                                              jnp.maximum(si.shape, 0)))
             out[name] = jnp.where(valid, alb, 0.0).reshape(h, w, 3)
+        elif name == "emission":
+            from ..emitter.dispatch import eval_emitter_hit
+            em_val, eidx = eval_emitter_hit(scene, si, ray.d)
+            em = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0)
+            out[name] = em.reshape(h, w, 3)
         elif name == "prim_index":
             out[name] = si.prim.astype(jnp.float32).reshape(h, w)
         elif name == "shape_index":

@@ -35,7 +35,8 @@ def run_viewer(scene, n_frames: int = 16, spp: int = 1, mode: str = "ema",
     aovs = None
     if mode == "denoise":
         with scoped_phase("aovs"):
-            aovs = lr.render_aovs(scene, ("albedo", "sh_normal"))
+            aovs = lr.render_aovs(scene, ("albedo", "sh_normal",
+                                          "emission"))
 
     for frame in range(n_frames):
         sc = scene
@@ -58,8 +59,11 @@ def run_viewer(scene, n_frames: int = 16, spp: int = 1, mode: str = "ema",
                 acc = img if acc is None else \
                     (acc * frame + img) / (frame + 1)
             else:  # denoise
-                acc = denoise(img, np.asarray(aovs["albedo"]),
-                              np.asarray(aovs["sh_normal"]))
+                from .denoise import atrous_denoise
+                acc = np.asarray(atrous_denoise(
+                    img, np.asarray(aovs["albedo"]),
+                    np.asarray(aovs["sh_normal"]),
+                    emission=np.asarray(aovs["emission"])))
 
         if out_pattern:
             with scoped_phase("write"):
