@@ -23,7 +23,26 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the wavefront megakernels are large graphs
 # (minutes to compile on this 1-core CPU); cache across test sessions.
-jax.config.update("jax_compilation_cache_dir", "/tmp/lr_tpu_jax_cache")
+# The cache dir is keyed by a host-CPU fingerprint: XLA:CPU AOT results
+# embed the COMPILE machine's vector features, and this container image
+# migrates across hosts — loading an entry compiled with (e.g.) AMX/AVX
+# variants this host lacks SIGILLs/segfaults mid-suite.  (The TPU cache
+# in bench scripts is unaffected: TPU executables target the chip, not
+# the host.)
+def _cpu_fingerprint() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "generic"
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/lr_cpu_jax_cache_{_cpu_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
