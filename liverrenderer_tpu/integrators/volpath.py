@@ -66,9 +66,15 @@ class VolpathState:
 
 
 def _has_bio(scene: Scene) -> bool:
+    """Bio (one-hot channel / absorber-kill) transport applies only when a
+    bio medium is present AND the integrator is one of the bio family —
+    stock volpath/volpathmis reach bio media through the base
+    Medium::sample_interaction in the reference (media/dispatch.bio_mode)."""
+    from ..media.dispatch import bio_mode
     from ..scene.ir import (MEDIUM_GLISSON, MEDIUM_LIVER, MEDIUM_PARENCHYMA)
-    return any(t in scene.media.types_present
-               for t in (MEDIUM_GLISSON, MEDIUM_PARENCHYMA, MEDIUM_LIVER))
+    return bio_mode(scene) and any(
+        t in scene.media.types_present
+        for t in (MEDIUM_GLISSON, MEDIUM_PARENCHYMA, MEDIUM_LIVER))
 
 
 def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> VolpathState:

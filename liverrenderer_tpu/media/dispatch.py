@@ -124,7 +124,7 @@ def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
     is_liver = mtype == MEDIUM_LIVER
     blood = jnp.where(is_liver[:, None], prm[:, 40:43], prm[:, 12:15])
     bile = jnp.where(is_liver[:, None], prm[:, 43:46], prm[:, 15:18])
-    lipid = jnp.where(is_liver[:, None], prm[:, 3:6], prm[:, 18:21])
+    lipid = jnp.where(is_liver[:, None], prm[:, 48:51], prm[:, 18:21])
     hep = jnp.where(is_liver, prm[:, 46], prm[:, 21])
 
     # six independent uniforms (2 glisson + 4 parenchyma elements),
@@ -222,7 +222,8 @@ def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
     dist = t_exp
     bio_type = jnp.full((n,), BIO_ATTENUATOR, jnp.int32)
     bio_present = any(t in tp for t in
-                      (MEDIUM_GLISSON, MEDIUM_PARENCHYMA, MEDIUM_LIVER))
+                      (MEDIUM_GLISSON, MEDIUM_PARENCHYMA, MEDIUM_LIVER)) \
+        and bio_mode(scene)
     if bio_present:
         btype, bdist, rate_total, rate_chosen, sampler = \
             _bio_compute_distance(scene, midx, mtype, prm, channel, sampler,
@@ -251,6 +252,13 @@ def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
         sigma_t = jnp.where((mtype == MEDIUM_HETEROGENEOUS)[:, None],
                             sig_het, sigma_t)
     sigma_s = sigma_t * albedo
+    if MEDIUM_PARENCHYMA in tp and not bio_mode(scene):
+        # standard-path parenchyma: hard-coded (sigma_t, sigma_s),
+        # majorant stays eval_sigmat (parenchyma.cpp:175-190) so null
+        # collisions fill the gap
+        par = (mtype == MEDIUM_PARENCHYMA)[:, None]
+        sigma_t = jnp.where(par, jnp.asarray(_PARENCHYMA_SIGMA_T), sigma_t)
+        sigma_s = jnp.where(par, jnp.asarray(_PARENCHYMA_SIGMA_S), sigma_s)
     sigma_n = jnp.maximum(majorant - sigma_t, 0.0)
 
     cand = dict(dist=dist, p=p, sigma_t=sigma_t, sigma_s=sigma_s,
@@ -339,6 +347,30 @@ def medium_phase(scene: Scene, medium_idx):
     return prm[:, 8].astype(jnp.int32), prm[:, 7], prm
 
 
+def bio_mode(scene: Scene) -> bool:
+    """Whether the bio competing-exponential sampling applies.
+
+    Mirrors the reference's dispatch-by-overload: only biovolpath /
+    biovolpath06 call the 5-arg tissueDepth `sample_interaction`
+    (computeDistance + one-hot transmittance + absorber kills);
+    every other integrator (stock volpath, volpathmis, prbvolpath)
+    reaches the bio media through the BASE Medium::sample_interaction —
+    standard majorant free flight with `get_scattering_coefficients`
+    (parenchyma.cpp:303 overload vs medium.cpp:42 base; the
+    SphereLiverConstEnv ball rendered 10x too dark when the bio kills
+    were applied under stock volpath)."""
+    return scene.integrator in ("biovolpath", "biovolpath06")
+
+
+# parenchyma.cpp:182-183 hard-codes the standard-path coefficients
+# (sigma_t, sigma_s) instead of using its volumes
+_PARENCHYMA_SIGMA_T = (77.2 / 255.0, 105.0 / 255.0, 149.0 / 255.0)
+_PARENCHYMA_SIGMA_S = (74.0 / 255.0, 88.0 / 255.0, 101.0 / 255.0)
+
+
 def medium_is_bio(scene: Scene, medium_idx):
     midx = jnp.maximum(medium_idx, 0)
-    return scene.media.mtype[midx] >= MEDIUM_GLISSON
+    is_bio_type = scene.media.mtype[midx] >= MEDIUM_GLISSON
+    if not bio_mode(scene):
+        return jnp.zeros_like(is_bio_type)
+    return is_bio_type

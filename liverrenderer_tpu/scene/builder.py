@@ -1610,14 +1610,10 @@ def _pack_glisson(p: np.ndarray, d: dict):
 
 def _pack_parenchyma(p: np.ndarray, d: dict, base: int):
     """Pack parenchyma absorber coefficients (src/media/parenchyma.cpp).
-    LIVER uses base=40 (blood rgb at 40:43 would overflow MEDIUM_P=48 with
-    all fields, so layout: blood[base:base+3] uses slots 40..42, bile 43..45,
-    hepatocity 46, lipid_water folded into sigma_t slot [0:3] is NOT used —
-    lipid_water goes to 10? No: for PARENCHYMA base=12: blood 12:15,
-    bile 15:18, lipid 18:21, hepatocity 21. For LIVER base=40: blood 40:43,
-    bile 43:46, hepatocity 46, and lipid_water reuses slots [9]? —
-    insufficient; LIVER packs lipid_water into params [3:6] (albedo slot is
-    unused by liver media)."""
+    PARENCHYMA (base=12): blood 12:15, bile 15:18, lipid 18:21,
+    hepatocity 21.  LIVER (base=40): blood 40:43, bile 43:46,
+    hepatocity 46, lipid_water 48:51 (slots 3:6 stay the medium albedo —
+    the standard / non-bio integrator path reads it)."""
     blood = _spectrum_to_rgb(d.get("sigma_blood", 1.0), 1.0)
     bile = _spectrum_to_rgb(d.get("sigma_bile", 1.0), 1.0)
     lipid = _spectrum_to_rgb(d.get("sigma_lipid_water", 1.0), 1.0)
@@ -1631,7 +1627,7 @@ def _pack_parenchyma(p: np.ndarray, d: dict, base: int):
         p[40:43] = blood
         p[43:46] = bile
         p[46] = hep
-        p[3:6] = lipid  # albedo slot unused by liver media
+        p[48:51] = lipid
 
 
 def _load_vol(path: str) -> np.ndarray:

@@ -108,7 +108,7 @@ F_DELTA = F_DELTA_REFL | F_DELTA_TRANS | F_NULL
 BSDF_P = 12     # float params per bsdf row
 EMITTER_P = 16
 TEX_P = 10
-MEDIUM_P = 48
+MEDIUM_P = 52
 
 
 @struct.dataclass
@@ -204,7 +204,7 @@ class Emitters:
 class Media:
     """Participating media table.
 
-    params layout (MEDIUM_P = 48 floats / row):
+    params layout (MEDIUM_P = 52 floats / row):
       common:        [0:3] sigma_t rgb, [3:6] albedo rgb, [6] scale,
                      [7] phase g, [8] (int) phase type, [9] has_spectral_ext
       HETEROGENEOUS: [10] max_density (majorant), grid via `grid_id`

@@ -127,11 +127,37 @@ def _convert(el, subst):
             v = v * 3
         return name, {"type": "rgb", "value": v}
     if tag == "spectrum":
+        raw = attrib.get("value", "")
         try:
-            return name, {"type": "rgb",
-                          "value": [float(attrib["value"])] * 3}
-        except (ValueError, KeyError):
-            return name, {"type": "rgb", "value": [1.0, 1.0, 1.0]}
+            return name, {"type": "rgb", "value": [float(raw)] * 3}
+        except ValueError:
+            pass
+        # "lambda:value, lambda:value, ..." irregular SPD (the bio media
+        # coefficient tables, e.g. SphereLiverConstEnv sigma_blood);
+        # silently defaulting these to 1.0 once made the parenchyma ball
+        # render 10x too dark (absorber rates >> hepatocyte rate)
+        pairs = []
+        for t in re.split(r"[\s,]+", raw.strip()):
+            if not t:
+                continue
+            lam, sep, v = t.partition(":")
+            if not sep:
+                pairs = None
+                break
+            try:
+                pairs.append((float(lam), float(v)))
+            except ValueError:
+                pairs = None
+                break
+        if pairs and len(pairs) == 1:
+            # a single (lambda, value) pair is a constant spectrum in
+            # Mitsuba's parser, not a delta line
+            return name, {"type": "rgb", "value": [pairs[0][1]] * 3}
+        if pairs:
+            return name, {"type": "irregular",
+                          "wavelengths": [p[0] for p in pairs],
+                          "values": [p[1] for p in pairs]}
+        return name, {"type": "rgb", "value": [1.0, 1.0, 1.0]}
     if tag == "transform":
         return name, _parse_transform(el, subst)
     if tag == "ref":

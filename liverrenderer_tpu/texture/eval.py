@@ -30,12 +30,13 @@ def eval_texture(tex: Textures, tex_idx, uv, types=None, p=None,
     if TEX_CONST in present:
         out = jnp.where((ttype == TEX_CONST)[..., None], data[..., 0:3], out)
     if TEX_CHECKERBOARD in present:
-        # reference src/textures/checkerboard.cpp: to_uv scale+offset, then
-        # parity of floor(u)+floor(v) selects color0/color1.
+        # reference src/textures/checkerboard.cpp:73-78: to_uv transform,
+        # then mask = frac(uv) > 0.5 per axis; color0 where the two masks
+        # AGREE (half-unit squares, one color0/color1 pair per UV unit)
         suv = uv * data[..., 6:8] + data[..., 8:10]
-        iu = jnp.floor(suv[..., 0]).astype(jnp.int32)
-        iv = jnp.floor(suv[..., 1]).astype(jnp.int32)
-        par = ((iu ^ iv) & 1) == 0
+        fu = suv[..., 0] - jnp.floor(suv[..., 0])
+        fv = suv[..., 1] - jnp.floor(suv[..., 1])
+        par = (fu > 0.5) == (fv > 0.5)
         col = jnp.where(par[..., None], data[..., 0:3], data[..., 3:6])
         out = jnp.where((ttype == TEX_CHECKERBOARD)[..., None], col, out)
     if TEX_BITMAP in present:

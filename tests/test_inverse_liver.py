@@ -17,8 +17,12 @@ SCENE = "/root/reference/scenes/SphereLiverConstEnv/mitsuba3/scene.xml"
 
 @pytest.mark.skipif(not os.path.exists(SCENE), reason="scene missing")
 def test_sphere_liver_gradient_finite_and_descends():
+    # integrator=biovolpath: this test exercises the BIO score-function
+    # gradients of the medium coefficients; the scene's default (stock
+    # volpath) reaches the parenchyma medium through the standard path
+    # where those coefficients are unused (media/dispatch.bio_mode)
     scene = lr.load_file(SCENE, res_width=24, res_height=14, spp=4,
-                         max_depth=4)
+                         max_depth=4, integrator="biovolpath")
     target = lr.render(scene, spp=16, seed=7)
 
     # perturb the parenchyma medium coefficients by 2x

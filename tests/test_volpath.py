@@ -107,9 +107,12 @@ def _bio_scene_params():
 
 
 def _medium_only_scene(med):
-    """Build a minimal scene exposing the medium for unit-level sampling."""
+    """Build a minimal scene exposing the medium for unit-level sampling.
+    integrator=biovolpath: the bio computeDistance semantics only apply
+    under the bio integrator family (media/dispatch.bio_mode)."""
     return load_dict({
         "type": "scene",
+        "integrator": {"type": "biovolpath"},
         "sensor": {"type": "perspective",
                    "film": {"type": "hdrfilm", "width": 4, "height": 4}},
         "m": med,
