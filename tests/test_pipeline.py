@@ -114,3 +114,22 @@ def test_all_reference_scenes_load():
     for xml in xmls:
         scene = lr.load_file(xml, res_width=8, res_height=5, spp=1)
         assert scene.n_shapes >= 1, xml
+
+
+def test_all_reference_scenes_render_finite():
+    """End-to-end smoke: every reference scene renders a finite,
+    non-black tiny frame under its own default integrator (catches
+    cross-scene regressions in media/emitter/BSDF dispatch that a
+    load-only test misses)."""
+    import glob
+
+    import liverrenderer_tpu as lr
+    xmls = sorted(glob.glob("/root/reference/scenes/*/mitsuba3/scene.xml"))
+    for xml in xmls:
+        scene = lr.load_file(xml, res_width=12, res_height=8, spp=2,
+                             max_depth=4)
+        img = np.asarray(lr.render(scene, spp=2, seed=0))
+        assert np.isfinite(img).all(), xml
+        # Parenchyma hides its emitters (hide_emitters) and renders a
+        # dark medium — accept a lower floor there
+        assert img.mean() > 1e-4, (xml, img.mean())
