@@ -169,6 +169,7 @@ class Sampler:
     seed: Array   # (N,) uint32, hash of (pixel, global seed)
     dim: Array    # (N,) uint32
     samp: Array = None   # (N,) uint32 sample index within the pixel
+    pix: Array = None    # (N,) uint32 pixel/lane id (stratification keys)
     kind: str = static_field(default="independent")
     spp: int = static_field(default=1)
 
@@ -336,7 +337,7 @@ def make_sampler(lane_id: Array, sample_idx, seed=0,
         h = _pcg4d(jnp.stack([lane, jnp.zeros_like(lane), base,
                               jnp.full_like(lane, 0x85EBCA6B)], -1))
     return Sampler(seed=h[..., 0], dim=jnp.zeros_like(lane), samp=samp,
-                   kind=kind, spp=spp)
+                   pix=lane, kind=kind, spp=spp)
 
 
 def hash_u32(*parts) -> Array:

@@ -80,7 +80,18 @@ def _has_bio(scene: Scene) -> bool:
 def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> VolpathState:
     n = ray.o.shape[0]
     u, sampler = sampler.next_1d()
-    channel = jnp.minimum((u * 3).astype(jnp.int32), 2)
+    if sampler.samp is not None and sampler.pix is not None:
+        # stratify the tracked RGB channel over the pixel's sample
+        # indices (exactly floor/ceil(spp/3) samples per channel) with a
+        # per-PIXEL hash rotation — removes the channel-allocation
+        # variance of the one-hot bio estimator (chroma speckle on the
+        # liver scenes) at identical expectation.  The dim draw stays so
+        # the replay dimension budget is unchanged.
+        rot = ((sampler.pix * jnp.uint32(2654435761)) >> jnp.uint32(16)) \
+            .astype(jnp.int32) % 3
+        channel = (sampler.samp.astype(jnp.int32) + rot) % 3
+    else:
+        channel = jnp.minimum((u * 3).astype(jnp.int32), 2)
     return VolpathState(
         active=jnp.ones((n,), bool),
         depth=jnp.zeros((n,), jnp.int32),

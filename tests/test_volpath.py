@@ -202,3 +202,36 @@ def test_liver_medium_in_sphere_renders():
     corner = img[0, 0].mean()
     np.testing.assert_allclose(corner, 1.0, atol=0.05)
     assert center < corner  # liver attenuates
+
+
+def test_channel_stratification_exact_allocation():
+    """The tracked RGB channel is stratified over each pixel's sample
+    indices: spp=12 gives exactly 4 samples per channel per pixel
+    (removes the channel-allocation variance of the one-hot estimator)."""
+    from liverrenderer_tpu.integrators.volpath import init_state
+    from liverrenderer_tpu.core.types import Ray as _Ray
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "biovolpath"},
+        "sensor": {"type": "perspective",
+                   "film": {"type": "hdrfilm", "width": 4, "height": 4}},
+        "dummy": {"type": "rectangle"},
+    }
+    scene = load_dict(d)
+    spp = 12
+    n_pix = 5
+    pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), spp)
+    samp = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), n_pix)
+    sampler = rng.make_sampler(pix, samp, 7, spp=spp)
+    n = n_pix * spp
+    ray = _Ray(o=jnp.zeros((n, 3)),
+               d=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+               maxt=jnp.full((n,), jnp.inf))
+    st = init_state(ray, sampler, scene)
+    ch = np.asarray(st.channel).reshape(n_pix, spp)
+    for p in range(n_pix):
+        counts = np.bincount(ch[p], minlength=3)
+        assert (counts == spp // 3).all(), (p, counts)
+    # rotation varies across pixels (no global channel<->sample lock)
+    assert len({tuple(ch[p]) for p in range(n_pix)}) > 1
