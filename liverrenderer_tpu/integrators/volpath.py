@@ -332,10 +332,13 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
         maj_c / jnp.maximum(st_c, 1e-30))[:, None]
     if has_bio:
         w_real = jnp.where(is_bio[:, None], mei.transmittance, w_real_stock)
-        # absorbed bio paths erase the channel's accumulated result
-        # (biovolpath.cpp:297-300)
-        kill = in_medium[:, None] & (mei.transmittance == 0.0)
-        L = jnp.where(kill, 0.0, L)
+        if scene.integrator == "biovolpath":
+            # per-channel erase of the accumulated result where the event
+            # transmittance is zero (biovolpath.cpp:298 spectral mask);
+            # biovolpath06 has the same statement DISABLED by `&& false`
+            # (biovolpath06.cpp:200), so 06 keeps pre-medium contributions
+            kill = in_medium[:, None] & (mei.transmittance == 0.0)
+            L = jnp.where(kill, 0.0, L)
         tissue_depth = jnp.where(
             act_real & is_bio,
             tissue_depth + jnp.abs(st.ray_d[:, 2] * mei.t), tissue_depth)
