@@ -174,3 +174,39 @@ def denoise_render(scene, spp: int = 16, seed: int = 0, iterations: int = 5):
                          variance=var, emission=aovs["emission"],
                          iterations=iterations)
     return np.asarray(out)
+
+
+def main(argv=None):
+    """Batch denoiser CLI (the reference Denoise.py workflow: load scene,
+    render + AOVs, denoise, write EXR/PNG):
+
+        python -m liverrenderer_tpu.denoise scene.xml -o out.exr --spp 32
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description="render + denoise a scene")
+    ap.add_argument("scene")
+    ap.add_argument("-o", "--output", default="denoised.exr")
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--iterations", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    a = ap.parse_args(argv)
+
+    import jax
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lr_tpu_jax_cache")
+
+    import liverrenderer_tpu as lr
+    scene = lr.load_file(a.scene)
+    out = denoise_render(scene, spp=a.spp, seed=a.seed,
+                         iterations=a.iterations)
+    lr.write_image(a.output, out)
+    if a.output.lower().endswith(".exr"):
+        lr.write_image(a.output[:-4] + ".png", out)
+    print(f"wrote {a.output}")
+
+
+if __name__ == "__main__":
+    main()
