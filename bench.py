@@ -30,7 +30,45 @@ W, H, SPP = 428, 240, 64          # same aspect/content as 1920x1080
 BASELINE_PATHS_PER_S = 1920 * 1080 * 256 / (2.6806 * 60)
 
 
+def _tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe TPU initialization in a subprocess — with the axon tunnel
+    down, jax.devices() hangs for many minutes in-process and would turn
+    the whole bench into a timeout instead of a result."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    platform = "tpu"
+    global W, H, SPP
+    if not _tpu_reachable():
+        # CPU fallback: tiny config, honestly flagged.  vs_baseline is NOT
+        # comparable (1 CPU core vs the reference workstation); the
+        # fwdbwd/primal cost ratio is the meaningful number here.
+        platform = "cpu-fallback"
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
+        # per-host cache dir: XLA:CPU AOT entries embed the compile
+        # host's features and this image migrates (see tests/conftest.py)
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                fp = next((hashlib.sha1(ln.encode()).hexdigest()[:12]
+                           for ln in f if ln.startswith("flags")), "generic")
+        except OSError:
+            fp = "generic"
+        _jax.config.update("jax_compilation_cache_dir",
+                           f"/tmp/lr_cpu_jax_cache_{fp}")
+        W, H, SPP = 160, 90, 8
+
     import liverrenderer_tpu as lr
 
     scene = lr.load_file(SCENE, res_width=W, res_height=H, spp=SPP)
@@ -65,20 +103,29 @@ def main():
     dt_fwdbwd = (time.perf_counter() - t0) / reps
     fwdbwd_rate = W * H * spp_b / dt_fwdbwd
 
+    extra = {
+        "config": f"{W}x{H}@{SPP}spp biovolpath d12",
+        "platform": platform,
+        "primal_s": round(dt_primal, 3),
+        "fwdbwd_paths_per_s": round(fwdbwd_rate),
+        "fwdbwd_s": round(dt_fwdbwd, 3),
+        "fwdbwd_over_primal_cost":
+            round(dt_fwdbwd / max(dt_primal, 1e-9)
+                  * (SPP / spp_b), 3),
+        "grad_finite": bool(np.isfinite(
+            np.asarray(grads["media.params"])).all()),
+        "baseline_paths_per_s": round(BASELINE_PATHS_PER_S),
+    }
+    if platform != "tpu":
+        extra["note"] = ("TPU tunnel unreachable; CPU fallback at tiny "
+                         "size — vs_baseline NOT comparable, the "
+                         "fwdbwd/primal cost ratio is the usable number")
     print(json.dumps({
         "metric": "Liver-SingleMesh paths/s/chip (primal; fwd+bwd in extra)",
         "value": round(primal_rate),
         "unit": "paths/s",
         "vs_baseline": round(primal_rate / BASELINE_PATHS_PER_S, 4),
-        "extra": {
-            "config": f"{W}x{H}@{SPP}spp biovolpath d12",
-            "primal_s": round(dt_primal, 3),
-            "fwdbwd_paths_per_s": round(fwdbwd_rate),
-            "fwdbwd_s": round(dt_fwdbwd, 3),
-            "grad_finite": bool(np.isfinite(
-                np.asarray(grads["media.params"])).all()),
-            "baseline_paths_per_s": round(BASELINE_PATHS_PER_S),
-        },
+        "extra": extra,
     }))
 
 
