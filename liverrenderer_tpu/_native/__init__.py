@@ -20,8 +20,36 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "liblrt.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
+_BUILD_TRIED = False
+
+
+def _try_build() -> None:
+    """Build liblrt.so on first import if the checkout is fresh.
+
+    The .so is a build artifact (not committed); a fresh clone would
+    otherwise silently fall back to the pure-Python paths, which lack
+    e.g. PIZ-compressed EXR support (reference scene envmaps use PIZ).
+    """
+    global _BUILD_TRIED
+    if _BUILD_TRIED:
+        return
+    _BUILD_TRIED = True
+    src = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                       "native")
+    if not os.path.isdir(src):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", src], capture_output=True,
+                       timeout=120, check=False)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def _load():
     global _lib
+    if _lib is None and not os.path.exists(_LIB_PATH):
+        _try_build()
     if _lib is None and os.path.exists(_LIB_PATH):
         try:
             lib = ctypes.CDLL(_LIB_PATH)
