@@ -4,9 +4,15 @@ Replaces the reference's Embree/OptiX intersection backends
 (scene_embree.inl / scene_optix.inl) for the common case: every benchmark
 scene's geometry (cornell ~36 tris, liver meshes 2.4-4.8k tris) fits in
 VMEM, so the speed-of-light strategy on a TPU is a *dense* sweep: one
-program per ray tile, `fori_loop` over triangle chunks, Moeller-Trumbore
+program per ray tile, `fori_loop` over triangle chunks, the per-test math
 evaluated on (TILE_T, TILE_R) VPU tiles with a running closest-hit
 reduction — no divergent traversal, no gathers, all operands in VMEM.
+
+Per-test math is the Baldwin-Weber precomputed world-to-barycentric
+transform (JCGT 2016) rather than Moeller-Trumbore: the two cross
+products (18 VPU ops per ray x tri) move into the per-triangle packing,
+leaving three dot products + one plane solve in the inner loop (~38 ops
+vs ~55; measured 1.31x on the liver wavefront, which is VPU-ALU bound).
 
 Measured on v5e vs the XLA scan brute force (1M rays x 2.4k tris):
 scan 753 ms -> this kernel ~50 ms (see bench notes in accel/intersect.py).
@@ -14,8 +20,11 @@ scan 753 ms -> this kernel ~50 ms (see bench notes in accel/intersect.py).
 Layout contract:
   rays   (8, N)  f32 rows: ox oy oz dx dy dz maxt (row 7 unused), N padded
                  to TILE_R; padded lanes have maxt = -1 (never hit).
-  tris   (Tpad, 12) f32 cols: p0 xyz, e1 xyz, e2 xyz (3 pad); padded rows
-                 are fully zero => det == 0 => rejected.
+  tris   (Tpad, 16) f32 cols: n xyz, dot(n,p0), r1 xyz, d1, r2 xyz, d2,
+                 tri_id (3 pad) with n = e1 x e2 (unnormalized),
+                 r1 = (e2 x n)/|n|^2, d1 = -dot(r1, p0) (r2/d2 from e1) so
+                 u = dot(r1, p) + d1, v = dot(r2, p) + d2 at the hit point
+                 p; padded rows are fully zero => n.d == 0 => rejected.
   out    (8, N)  f32 rows: t, prim (exact float int; -1 = miss), u, v.
 
 Gradients: intersection ids/distances are sampling geometry, detached under
@@ -34,9 +43,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_R = 1024      # rays per program (measured best on v5e)
 TILE_T = 128       # triangles per inner chunk (sublane-major)
-MAX_VMEM_TRIS = 65536  # 64k tris x 12 x 4B = 3 MB triangle buffer
+MAX_VMEM_TRIS = 65536  # 64k tris x 16 x 4B = 4 MB triangle buffer
+TRI_COLS = 16
 
 _INF = float("inf")
+
+
+def _bw_chunk(tris_ref, base, o, d, maxt, carry):
+    """Baldwin-Weber closest-hit update for one TILE_T-triangle chunk on a
+    (TILE_T, TILE_R) VPU tile.  o/d are the (1, R) ray component rows."""
+    best_t, best_prim = carry
+    ox, oy, oz = o
+    dx, dy, dz = d
+    nx = tris_ref[pl.ds(base, TILE_T), 0:1]
+    ny = tris_ref[pl.ds(base, TILE_T), 1:2]
+    nz = tris_ref[pl.ds(base, TILE_T), 2:3]
+    dn = tris_ref[pl.ds(base, TILE_T), 3:4]
+    # t from the plane equation; n = e1 x e2 so n.d equals (minus) the
+    # Moeller-Trumbore determinant — the same 1e-12 degeneracy guard
+    # rejects padded (all-zero) rows and parallel rays
+    ndir = nx * dx + ny * dy + nz * dz
+    no = nx * ox + ny * oy + nz * oz
+    inv = jnp.where(jnp.abs(ndir) > 1e-12, 1.0 / ndir, 0.0)
+    t = (dn - no) * inv
+    # barycentrics from the precomputed affine rows at the hit point
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    r1x = tris_ref[pl.ds(base, TILE_T), 4:5]
+    r1y = tris_ref[pl.ds(base, TILE_T), 5:6]
+    r1z = tris_ref[pl.ds(base, TILE_T), 6:7]
+    d1 = tris_ref[pl.ds(base, TILE_T), 7:8]
+    r2x = tris_ref[pl.ds(base, TILE_T), 8:9]
+    r2y = tris_ref[pl.ds(base, TILE_T), 9:10]
+    r2z = tris_ref[pl.ds(base, TILE_T), 10:11]
+    d2 = tris_ref[pl.ds(base, TILE_T), 11:12]
+    u = r1x * px + r1y * py + r1z * pz + d1
+    v = r2x * px + r2y * py + r2z * pz + d2
+
+    hit = (jnp.abs(ndir) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
+        & (u + v <= 1.0) & (t > 0.0) & (t < best_t) & (t < maxt)
+    # barycentrics of the winner are re-derived outside from the packed
+    # per-tri row (compute_si) — carrying only (t, prim) trims the
+    # per-chunk reduction
+    t_m = jnp.where(hit, t, _INF)
+    t_min = jnp.min(t_m, axis=0, keepdims=True)           # (1, R)
+    sel = t_m == t_min                                     # ties ok
+    tri_ids = tris_ref[pl.ds(base, TILE_T), 12:13]  # baked original ids
+    got = t_min < best_t
+    prim_min = jnp.max(jnp.where(sel, tri_ids, -1.0), axis=0,
+                       keepdims=True)
+    best_prim = jnp.where(got, prim_min, best_prim)
+    best_t = jnp.where(got, t_min, best_t)
+    return best_t, best_prim
 
 
 def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
@@ -75,58 +134,11 @@ def _intersect_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
                           jnp.maximum(t0z, t1z))
         lim = jnp.minimum(best_t, maxt)
         any_enter = jnp.any((near <= far) & (far > 0.0) & (near < lim))
-        return jax.lax.cond(any_enter, lambda cr: _mt_chunk(c, cr),
-                            lambda cr: cr, carry)
-
-    def _mt_chunk(c, carry):
-        best_t, best_prim = carry
-        base = c * TILE_T
-        p0x = tris_ref[pl.ds(base, TILE_T), 0:1]
-        p0y = tris_ref[pl.ds(base, TILE_T), 1:2]
-        p0z = tris_ref[pl.ds(base, TILE_T), 2:3]
-        e1x = tris_ref[pl.ds(base, TILE_T), 3:4]
-        e1y = tris_ref[pl.ds(base, TILE_T), 4:5]
-        e1z = tris_ref[pl.ds(base, TILE_T), 5:6]
-        e2x = tris_ref[pl.ds(base, TILE_T), 6:7]
-        e2y = tris_ref[pl.ds(base, TILE_T), 7:8]
-        e2z = tris_ref[pl.ds(base, TILE_T), 8:9]
-
-        # Moeller-Trumbore on the (TILE_T, TILE_R) outer block:
-        # pvec = d x e2
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        # padded rows have det == 0 -> 1/0 = inf -> rejected by the u/v
-        # window tests; a single select beats the double-guard
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        # tvec = o - p0
-        tvx = ox - p0x
-        tvy = oy - p0y
-        tvz = oz - p0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        # qvec = tvec x e1
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-
-        hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
-            & (u + v <= 1.0) & (t > 0.0) & (t < best_t) & (t < maxt)
-        # barycentrics of the winner are re-derived outside from the packed
-        # per-tri row (compute_si) — carrying only (t, prim) trims the
-        # per-chunk reduction
-        t_m = jnp.where(hit, t, _INF)
-        t_min = jnp.min(t_m, axis=0, keepdims=True)           # (1, R)
-        sel = t_m == t_min                                     # ties ok
-        tri_ids = tris_ref[pl.ds(base, TILE_T), 9:10]  # baked original ids
-        got = t_min < best_t
-        prim_min = jnp.max(jnp.where(sel, tri_ids, -1.0), axis=0,
-                           keepdims=True)
-        best_prim = jnp.where(got, prim_min, best_prim)
-        best_t = jnp.where(got, t_min, best_t)
-        return best_t, best_prim
+        return jax.lax.cond(
+            any_enter,
+            lambda cr: _bw_chunk(tris_ref, c * TILE_T, (ox, oy, oz),
+                                 (dx, dy, dz), maxt, cr),
+            lambda cr: cr, carry)
 
     init = (jnp.full((1, TILE_R), _INF),
             jnp.full((1, TILE_R), -1.0))
@@ -184,47 +196,11 @@ def _intersect_stream_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
                           jnp.maximum(t0z, t1z))
         lim = jnp.minimum(best_t, maxt)
         any_enter = jnp.any((near <= far) & (far > 0.0) & (near < lim))
-        return jax.lax.cond(any_enter, lambda cr: _mt(c, cr),
-                            lambda cr: cr, carry)
-
-    def _mt(c, carry):
-        best_t, best_prim = carry
-        base = c * TILE_T
-        p0x = tris_ref[pl.ds(base, TILE_T), 0:1]
-        p0y = tris_ref[pl.ds(base, TILE_T), 1:2]
-        p0z = tris_ref[pl.ds(base, TILE_T), 2:3]
-        e1x = tris_ref[pl.ds(base, TILE_T), 3:4]
-        e1y = tris_ref[pl.ds(base, TILE_T), 4:5]
-        e1z = tris_ref[pl.ds(base, TILE_T), 5:6]
-        e2x = tris_ref[pl.ds(base, TILE_T), 6:7]
-        e2y = tris_ref[pl.ds(base, TILE_T), 7:8]
-        e2z = tris_ref[pl.ds(base, TILE_T), 8:9]
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvx = ox - p0x
-        tvy = oy - p0y
-        tvz = oz - p0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-        hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
-            & (u + v <= 1.0) & (t > 0.0) & (t < best_t) & (t < maxt)
-        t_m = jnp.where(hit, t, _INF)
-        t_min = jnp.min(t_m, axis=0, keepdims=True)
-        sel = t_m == t_min
-        tri_ids = tris_ref[pl.ds(base, TILE_T), 9:10]
-        got = t_min < best_t
-        prim_min = jnp.max(jnp.where(sel, tri_ids, -1.0), axis=0,
-                           keepdims=True)
-        best_prim = jnp.where(got, prim_min, best_prim)
-        best_t = jnp.where(got, t_min, best_t)
-        return best_t, best_prim
+        return jax.lax.cond(
+            any_enter,
+            lambda cr: _bw_chunk(tris_ref, c * TILE_T, (ox, oy, oz),
+                                 (dx, dy, dz), maxt, cr),
+            lambda cr: cr, carry)
 
     init = (out_ref[0:1, :], out_ref[1:2, :])
     best_t, best_prim = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
@@ -232,7 +208,7 @@ def _intersect_stream_kernel(rays_ref, tris_ref, boxes_ref, out_ref):
     out_ref[1:2, :] = best_prim
 
 
-# streamed triangle block: 64k tris x 48 B = 3 MB (x2 double-buffered)
+# streamed triangle block: 64k tris x 64 B = 4 MB (x2 double-buffered)
 SUPER_T = MAX_VMEM_TRIS
 # streaming stays ahead of lockstep BVH traversal well past 64k; beyond
 # this the O(T)-per-wavefront sweep loses to the log-depth walk
@@ -247,7 +223,7 @@ def _call_kernel_stream(rays, tris, boxes, n_tiles, n_super):
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUPER_T, 12), lambda i, j: (j, 0),
+            pl.BlockSpec((SUPER_T, TRI_COLS), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SUPER_T // TILE_T, 8), lambda i, j: (j, 0),
                          memory_space=pltpu.SMEM),
@@ -297,9 +273,27 @@ def _intersect_bwd(_, g):
 _intersect_nograd.defvjp(_intersect_fwd, _intersect_bwd)
 
 
+def bw_rows(v0, v1, v2, xp=np):
+    """Baldwin-Weber per-triangle rows (n, dn, r1, d1, r2, d2) from the
+    three vertex arrays; works for numpy (float64 precompute) and jnp
+    (differentiable-detached refresh, util.refresh_vertex_geometry)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = xp.cross(e1, e2)
+    dn = xp.sum(n * v0, -1)
+    nn = xp.sum(n * n, -1)
+    inv_nn = xp.where(nn > 0, 1.0 / xp.where(nn > 0, nn, 1.0), 0.0)
+    r1 = xp.cross(e2, n) * inv_nn[:, None]
+    d1 = -xp.sum(r1 * v0, -1)
+    r2 = xp.cross(n, e1) * inv_nn[:, None]
+    d2 = -xp.sum(r2 * v0, -1)
+    return n, dn, r1, d1, r2, d2
+
+
 def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
               perm: np.ndarray | None = None):
-    """Host-side packing of the (Tpad, 12) VMEM triangle buffer.
+    """Host-side packing of the (Tpad, TRI_COLS) VMEM triangle buffer
+    (Baldwin-Weber rows, computed in float64).
 
     When `perm` (BVH leaf order, accel/bvh.py) is given, triangles are
     packed in that spatially-local order and per-TILE_T chunk AABBs are
@@ -313,14 +307,19 @@ def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         tpad = ((tpad + SUPER_T - 1) // SUPER_T) * SUPER_T
     if perm is None:
         perm = np.arange(T, dtype=np.int64)
-    v0o, v1o, v2o = v0[perm], v1[perm], v2[perm]
-    buf = np.zeros((tpad, 12), np.float32)
-    buf[:T, 0:3] = v0o
-    buf[:T, 3:6] = v1o - v0o
-    buf[:T, 6:9] = v2o - v0o
+    v0o, v1o, v2o = v0[perm].astype(np.float64), \
+        v1[perm].astype(np.float64), v2[perm].astype(np.float64)
+    n, dn, r1, d1, r2, d2 = bw_rows(v0o, v1o, v2o)
+    buf = np.zeros((tpad, TRI_COLS), np.float32)
+    buf[:T, 0:3] = n
+    buf[:T, 3] = dn
+    buf[:T, 4:7] = r1
+    buf[:T, 7] = d1
+    buf[:T, 8:11] = r2
+    buf[:T, 11] = d2
     # original triangle id baked into the padding column: the reduction
     # then yields ids directly (no post-kernel permutation gather)
-    buf[:T, 9] = perm.astype(np.float32)
+    buf[:T, 12] = perm.astype(np.float32)
 
     n_chunks = tpad // TILE_T
     boxes = np.zeros((n_chunks, 8), np.float32)

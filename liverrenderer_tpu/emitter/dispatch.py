@@ -288,7 +288,10 @@ def eval_emitter_hit(scene: Scene, si, d):
     (analog of si.emitter(scene)->eval(si)). Returns (radiance, emitter_idx)."""
     em = scene.emitters
     n_l = si.t.shape[0]
-    if em.count == 0:
+    # only area emitters attach to shapes (builder.py _push_emitter shape=);
+    # eliding the whole evaluation for env/point-only scenes drops a
+    # full-width per-bounce bitmap gather (~7% of the liver wavefront)
+    if em.count == 0 or EMITTER_AREA not in em.types_present:
         return jnp.zeros((n_l, 3)), jnp.full((n_l,), -1, jnp.int32)
     shape = jnp.maximum(si.shape, 0)
     eidx = jnp.where(si.valid,

@@ -398,7 +398,7 @@ class Scene:
     # area-emitter triangle sampling: global cumulative triangle areas
     tri_area_cdf: Array       # (T,)
     tri_area: Array           # (T,)
-    # packed (Tpad, 12) p0/e1/e2 buffer for the Pallas intersect kernel
+    # packed (Tpad, 16) Baldwin-Weber buffer for the Pallas intersect kernel
     # (BVH-leaf order) + per-chunk AABBs + kernel-row -> original-id map
     tri_buf: Array
     tri_boxes: Array

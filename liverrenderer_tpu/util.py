@@ -74,17 +74,21 @@ def refresh_vertex_geometry(scene: Scene, V, recompute_normals: bool = True
     tri_si = tri_si.at[:, 15:18].set(normals[F[:, 2]])
 
     # kernel buffers: detached re-pack in the stored BVH-leaf order
+    # (Baldwin-Weber rows, the kernel's layout contract — pallas_intersect)
     Vd = jax.lax.stop_gradient(V)
     kperm = scene.tri_kperm
     valid = kperm >= 0
     fo = F[jnp.maximum(kperm, 0)]
     b0, b1, b2 = Vd[fo[:, 0]], Vd[fo[:, 1]], Vd[fo[:, 2]]
     vm = valid[:, None]
+    from .accel.pallas_intersect import bw_rows
+    n_r, dn, r1, d1, r2, d2 = bw_rows(b0, b1, b2, xp=jnp)
     tri_buf = jnp.concatenate([
-        jnp.where(vm, b0, 0.0), jnp.where(vm, b1 - b0, 0.0),
-        jnp.where(vm, b2 - b0, 0.0),
+        jnp.where(vm, n_r, 0.0), jnp.where(valid, dn, 0.0)[:, None],
+        jnp.where(vm, r1, 0.0), jnp.where(valid, d1, 0.0)[:, None],
+        jnp.where(vm, r2, 0.0), jnp.where(valid, d2, 0.0)[:, None],
         jnp.where(valid, kperm.astype(jnp.float32), 0.0)[:, None],
-        scene.tri_buf[:, 10:12]], -1)
+        scene.tri_buf[:, 13:16]], -1)
     from .accel.pallas_intersect import TILE_T
     n_chunks = tri_buf.shape[0] // TILE_T
     pts = jnp.stack([b0, b1, b2], 1)              # (Tpad, 3pts, 3)
