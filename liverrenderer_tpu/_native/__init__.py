@@ -29,6 +29,11 @@ def _try_build() -> None:
     The .so is a build artifact (not committed); a fresh clone would
     otherwise silently fall back to the pure-Python paths, which lack
     e.g. PIZ-compressed EXR support (reference scene envmaps use PIZ).
+
+    Concurrency-safe: pytest runs -n 4 xdist workers, so several fresh
+    processes can race here — an exclusive flock serializes the build,
+    and the Makefile links to a temp name moved into place atomically
+    (native/Makefile), so a sibling never dlopens a half-linked .so.
     """
     global _BUILD_TRIED
     if _BUILD_TRIED:
@@ -38,10 +43,25 @@ def _try_build() -> None:
                        "native")
     if not os.path.isdir(src):
         return
+    import fcntl
     import subprocess
+    lock_path = os.path.join(os.path.dirname(__file__), ".build.lock")
     try:
-        subprocess.run(["make", "-C", src], capture_output=True,
-                       timeout=120, check=False)
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(_LIB_PATH):   # a sibling built it
+                    return
+                r = subprocess.run(["make", "-C", src], capture_output=True,
+                                   timeout=300, check=False)
+                if r.returncode != 0:
+                    import warnings
+                    warnings.warn(
+                        "native build failed (pure-Python fallbacks in "
+                        "use; PIZ EXR unsupported):\n"
+                        + r.stderr.decode(errors="replace")[-2000:])
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
     except (OSError, subprocess.TimeoutExpired):
         pass
 
@@ -51,8 +71,8 @@ def _load():
     if _lib is None and not os.path.exists(_LIB_PATH):
         _try_build()
     if _lib is None and os.path.exists(_LIB_PATH):
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
+        try:                       # AttributeError: stale .so missing a
+            lib = ctypes.CDLL(_LIB_PATH)  # symbol added since it was built
             lib.lrt_exr_error.restype = ctypes.c_char_p
             lib.lrt_exr_probe.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -92,7 +112,7 @@ def _load():
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib = None
     return _lib
 

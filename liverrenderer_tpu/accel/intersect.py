@@ -241,7 +241,8 @@ def _pallas_tris(scene: Scene, ray: Ray, t_best, any_hit: bool):
     t, prim, uu, vv = intersect_tris(scene.tri_buf, scene.tri_boxes,
                                      scene.tri_kperm, ray.o, ray.d,
                                      ray.maxt, t_best,
-                                     sort=scene.ray_sort and not any_hit)
+                                     sort=scene.ray_sort and not any_hit,
+                                     center=scene.tri_center)
     better = t < t_best
     return jnp.where(better, t, t_best), \
         jnp.where(better, prim, -1), \

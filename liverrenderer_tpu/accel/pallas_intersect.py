@@ -231,6 +231,15 @@ def _call_kernel_stream(rays, tris, boxes, n_tiles, n_super):
         out_specs=pl.BlockSpec((8, TILE_R), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(rays.shape, jnp.float32),
+        # the revisited-output accumulation pattern makes XLA's scoped-vmem
+        # accounting count the full operand set against the default 16 MB
+        # stack limit (observed OOM at 327k tris on v5e); the real resident
+        # set is blocks only — raise the limit to what the double-buffered
+        # SUPER_T pipeline actually needs
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(rays, tris, boxes)
 
 
@@ -280,9 +289,15 @@ def bw_rows(v0, v1, v2, xp=np):
     e1 = v1 - v0
     e2 = v2 - v0
     n = xp.cross(e1, e2)
-    dn = xp.sum(n * v0, -1)
     nn = xp.sum(n * n, -1)
-    inv_nn = xp.where(nn > 0, 1.0 / xp.where(nn > 0, nn, 1.0), 0.0)
+    # degenerate guard must include overflow: if |n|^2 hits inf (fp32
+    # refresh path) inv_nn would be 0 and u = v = 0 would pass every
+    # barycentric test across the triangle's whole plane — zero the n row
+    # too so the kernel's |n.d| > 1e-12 guard rejects the triangle
+    ok = (nn > 0) & xp.isfinite(nn)
+    n = xp.where(ok[:, None], n, 0.0)
+    dn = xp.sum(n * v0, -1)
+    inv_nn = xp.where(ok, 1.0 / xp.where(ok, nn, 1.0), 0.0)
     r1 = xp.cross(e2, n) * inv_nn[:, None]
     d1 = -xp.sum(r1 * v0, -1)
     r2 = xp.cross(n, e1) * inv_nn[:, None]
@@ -299,7 +314,14 @@ def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     packed in that spatially-local order and per-TILE_T chunk AABBs are
     computed so the kernel can skip whole chunks per ray tile.  Returns
     (tri_buf, boxes (n_chunks, 8), kernel_perm (Tpad,) mapping kernel row
-    -> original triangle id)."""
+    -> original triangle id, center (3,) local-frame origin).
+
+    Geometry is re-centered on the scene AABB midpoint before the rows
+    are computed: Baldwin-Weber's dn - n.o and u = r.p + d terms cancel
+    catastrophically in fp32 for scenes translated far from the origin
+    (Moeller-Trumbore subtracts o - p0 first and doesn't) — the kernel
+    operates entirely in the local frame, intersect_tris shifts ray
+    origins by the same center."""
     T = len(v0)
     tpad = max(((T + TILE_T - 1) // TILE_T) * TILE_T, TILE_T)
     if tpad > MAX_VMEM_TRIS:
@@ -309,6 +331,12 @@ def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         perm = np.arange(T, dtype=np.int64)
     v0o, v1o, v2o = v0[perm].astype(np.float64), \
         v1[perm].astype(np.float64), v2[perm].astype(np.float64)
+    if T:
+        allv = np.concatenate([v0o, v1o, v2o])
+        center = 0.5 * (allv.min(0) + allv.max(0))
+    else:
+        center = np.zeros(3)
+    v0o, v1o, v2o = v0o - center, v1o - center, v2o - center
     n, dn, r1, d1, r2, d2 = bw_rows(v0o, v1o, v2o)
     buf = np.zeros((tpad, TRI_COLS), np.float32)
     buf[:T, 0:3] = n
@@ -334,12 +362,13 @@ def pack_tris(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         boxes[c, 3:6] = pts.max(0)
     kperm = np.full(tpad, -1, np.int32)
     kperm[:T] = perm
-    return buf, boxes, kperm
+    return buf, boxes, kperm, center.astype(np.float32)
 
 
 def intersect_tris(tri_buf: jax.Array, boxes: jax.Array, kperm: jax.Array,
                    o: jax.Array, d: jax.Array,
-                   maxt: jax.Array, t_best: jax.Array, sort: bool = False):
+                   maxt: jax.Array, t_best: jax.Array, sort: bool = False,
+                   center: jax.Array | None = None):
     """Closest-hit over the packed (BVH-leaf-ordered) triangle buffer.
 
     Returns (t, prim, u, v) with prim == -1 for misses (prim in ORIGINAL
@@ -351,6 +380,9 @@ def intersect_tris(tri_buf: jax.Array, boxes: jax.Array, kperm: jax.Array,
     reference's GPU thread reordering, path.cpp:338-344)."""
     n = o.shape[0]
     lim = jnp.minimum(jnp.where(jnp.isfinite(maxt), maxt, _INF), t_best)
+    if center is not None:
+        # local-frame shift matching pack_tris (t/u/v are shift-invariant)
+        o = o - center[None]
 
     if sort:
         order = _coherence_order(o, d)

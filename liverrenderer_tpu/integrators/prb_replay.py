@@ -24,13 +24,24 @@ around the *regenerating* wavefront render:
              (the radiative-backprop identity: d/dtheta of the remaining
              path contribution = suffix * d(throughput)/dtheta, because
              sampling densities are detached).  Cotangents:
-                 L_out          <- dL/dI[pixel]
-                 throughput_out <- dL/dI[pixel] * suffix
-                 env_weight_out <- dL/dI[pixel] * E(ray_d)   (detached E)
+                 L_out          <- delta (the path's filter-weighted dL/dI)
+                 throughput_out <- delta * suffix
+                 env_weight_out <- delta * E(ray_d)   (detached E)
 
 Wavefront utilization in the adjoint therefore matches the primal's ~97%
 instead of the scan's ~1/max_depth, and only ONE forward + ONE replay run
 per gradient (the scan path pays primal + per-pass fwd + remat bwd).
+
+Coverage (round-3): the adjoint runs at ANY film size, box or tent filter,
+and any spp — matching RBIntegrator's "works at every config" contract
+(common.py:625-783).  Films past one regen tile, or sample budgets past
+the path-pool cap, switch to the TILED schedule: one extra primal render
+produces the loss image, then each (pixel-tile, spp-chunk) pair replays
+independently (forward-with-storage + backward walk), the counter RNG
+guaranteeing every partition walks the identical paths.  Per-path filter
+cotangents (box: one tap, tent: the 2x2 filter-weighted neighborhood of
+the splat, regen.py) are precomputed into a pool so the walk pays one
+gather per lane rebirth regardless of filter support.
 """
 from __future__ import annotations
 
@@ -42,28 +53,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import film as film_mod
-from ..scene.ir import FILTER_BOX, Scene
+from ..scene.ir import FILTER_TENT, Scene
 from ..util import apply_params
 from . import volpath as vp
-from .regen import (REGEN_WAVEFRONT, TILE_PIX, _make_lanes, _select_state,
-                    eval_environment, _render_regen_tile, regen_applicable)
+from . import regen as regen_mod
+from .regen import (REGEN_WAVEFRONT, _make_lanes, _select_state,
+                    eval_environment, lane_pos, _render_regen_tile,
+                    regen_applicable, render_regen)
 
 Array = jax.Array
 
-# pool residual cap: paths * 12 bytes; 32M paths = 384 MB HBM
+# per-walk path-pool cap: paths * (12 B radiance + 12 B delta);
+# 32M paths = 768 MB HBM.  Budgets past it are spp-chunked (tiled path).
 MAX_STORE_PATHS = 32 * (1 << 20)
+
+# parameter keys whose leaves can reach eval_environment: when none is
+# being differentiated the backward walk evaluates env radiance DETACHED
+# outside the per-bounce VJP, keeping the (expensive) envmap quad gather
+# out of the differentiated trace
+_ENV_KEYS = ("emitters.params", "textures.data", "textures.bitmaps")
 
 
 def replay_applicable(scene: Scene, params: Dict[str, Array], spp: int) \
         -> bool:
-    """The replay adjoint covers the regen-able configurations with a box
-    filter and single-tile films; sensor-parameter gradients are not
+    """The replay adjoint covers every regen-able configuration (volpath
+    family, box/tent filter, any film size / spp — large films and sample
+    budgets run the tiled schedule).  Sensor-parameter gradients are not
     propagated (fall back to the scan adjoint for those)."""
-    n_pix = scene.film_w * scene.film_h
     return (regen_applicable(scene, "primal")
-            and scene.rfilter == FILTER_BOX
-            and n_pix <= TILE_PIX
-            and n_pix * spp <= MAX_STORE_PATHS
             and not any(k.startswith("sensor") for k in params))
 
 
@@ -76,6 +93,59 @@ def _zero_cotangent(x):
 def _detach(tree):
     return jax.tree_util.tree_map(jax.lax.stop_gradient, tree)
 
+
+def _delta_from_pos(scene: Scene, g_rgb: Array, pos: Array) -> Array:
+    """Per-path loss cotangent from its film position: the adjoint of the
+    regen splat (regen.py _render_regen_tile).  g_rgb is d loss / d
+    accumulated-rgb per pixel, (film_w*film_h, 3).  Lanes of a padded
+    last tile (pos_y >= film_h, mirroring the splat's in_range mask) get
+    zero."""
+    w, h = scene.film_w, scene.film_h
+    in_range = pos[:, 1] < h
+    if scene.rfilter == FILTER_TENT:
+        cx, cy = pos[:, 0], pos[:, 1]
+        ix0 = jnp.floor(cx - 0.5).astype(jnp.int32)
+        iy0 = jnp.floor(cy - 0.5).astype(jnp.int32)
+        d = jnp.zeros(pos.shape[:-1] + (3,))
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ix = ix0 + dx
+                iy = iy0 + dy
+                fw = jnp.maximum(1.0 - jnp.abs(cx - (ix + 0.5)), 0.0) \
+                    * jnp.maximum(1.0 - jnp.abs(cy - (iy + 0.5)), 0.0)
+                ok = in_range & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+                d = d + jnp.where(ok[:, None], g_rgb[idx] * fw[:, None], 0.0)
+        return d
+    px = jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1)
+    return jnp.where(in_range[:, None], g_rgb[py * w + px], 0.0)
+
+
+def _delta_pool(scene: Scene, g_rgb, seed, spp_total: int, pix0, tile_pix,
+                samp0, budget: int) -> Array:
+    """Precompute every sample id's loss cotangent (the filter adjoint) in
+    one batched sweep, so the backward walk's lane-rebirth path costs one
+    pool gather instead of one gather per filter tap."""
+    CH = min(1 << 20, budget)
+    n_chunks = (budget + CH - 1) // CH
+
+    def body(i, pool):
+        ids = (i * CH + jnp.arange(CH, dtype=jnp.uint32)).astype(jnp.uint32)
+        pos = lane_pos(scene, ids, seed, spp_total, pix0, tile_pix, samp0)
+        d = _delta_from_pos(scene, g_rgb, pos)
+        d = jnp.where((ids < budget)[:, None], d, 0.0)
+        return jax.lax.dynamic_update_slice(pool, d, (i * CH, 0))
+
+    pool = jnp.zeros((n_chunks * CH, 3))
+    pool = jax.lax.fori_loop(0, n_chunks, body, pool)
+    return pool[:budget]
+
+
+# ---------------------------------------------------------------------------
+# single-walk schedule (film fits one regen tile, budget fits the pool):
+# custom_vjp whose forward IS the loss-primal render, storing the path pool
+# ---------------------------------------------------------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _render_acc(scene: Scene, params: Dict[str, Array], seed, spp: int):
@@ -95,30 +165,32 @@ def _render_acc_fwd(scene, params, seed, spp):
 
 def _render_acc_bwd(spp, res, g_film):
     scene, params, seed, pool_L = res
-    grads = _replay_walk(scene, params, seed, spp, g_film, pool_L)
+    n_pix = scene.film_w * scene.film_h
+    g_rgb = g_film.reshape(n_pix, 4)[:, 0:3]
+    delta_pool = _delta_pool(scene, g_rgb, seed, spp, 0, n_pix, 0,
+                             n_pix * spp)
+    grads = _replay_walk(scene, params, seed, spp, delta_pool, pool_L,
+                         0, n_pix, 0, spp)
     scene_ct = jax.tree_util.tree_map(_zero_cotangent, scene)
     seed_ct = _zero_cotangent(seed)
     return scene_ct, grads, seed_ct
 
 
-def _replay_walk(scene: Scene, params, seed, spp: int, g_film, pool_L):
-    """The backward regen walk: replays the forward trajectories (same
-    counter RNG) and accumulates parameter VJPs bounce by bounce."""
+def _replay_walk(scene: Scene, params, seed, spp_total: int, delta_pool,
+                 pool_L, pix0, tile_pix: int, samp0, spp_chunk: int):
+    """The backward regen walk over one (pixel-tile, spp-chunk): replays
+    the forward trajectories (same counter RNG) and accumulates parameter
+    VJPs bounce by bounce."""
     sc_det = _detach(apply_params(scene, _detach(params)))
-    w, h = scene.film_w, scene.film_h
-    n_pix = w * h
-    budget = n_pix * spp
+    budget = tile_pix * spp_chunk
     W = min(REGEN_WAVEFRONT, budget)
-
-    # per-lane adjoint sources, fetched at lane birth
-    g_rgb = g_film.reshape(n_pix, 4)[:, 0:3]
+    diff_env = any(k in _ENV_KEYS for k in params)
 
     def seed_aux(ids):
-        pix = (ids % jnp.uint32(n_pix)).astype(jnp.int32)
-        return g_rgb[pix], pool_L[ids]
+        return delta_pool[ids], pool_L[ids]
 
     st, pos = _make_lanes(sc_det, jnp.arange(W, dtype=jnp.uint32), seed,
-                          spp, 0, n_pix)
+                          spp_total, pix0, tile_pix, samp0)
     delta, Ltot = seed_aux(jnp.arange(W, dtype=jnp.uint32))
     g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
 
@@ -135,24 +207,36 @@ def _replay_walk(scene: Scene, params, seed, spp: int, g_film, pool_L):
         was_active = st.active
         st_det = _detach(st)
 
-        def local(p):
-            sc = apply_params(scene, p)
-            st2 = vp.bounce(sc, st_det, True)
-            # env radiance along the post-bounce ray: for a lane escaping
-            # at THIS bounce ray_d is the escaping direction (bounce leaves
-            # it unchanged), so E both closes the suffix identity and —
-            # via its own cotangent at lane death — carries the deferred
-            # env-parameter gradient the primal loop's post-loop env
-            # evaluation would otherwise hide from the per-bounce VJP
-            E = eval_environment(sc, st2.ray_d)
-            return (st2.L, st2.throughput, st2.env_weight, E), st2
-
-        (L2, tp2, ew2, E), vjp_fn, st2 = jax.vjp(local, params, has_aux=True)
+        if diff_env:
+            def local(p):
+                sc = apply_params(scene, p)
+                st2 = vp.bounce(sc, st_det, True)
+                # env radiance along the post-bounce ray: for a lane
+                # escaping at THIS bounce ray_d is the escaping direction
+                # (bounce leaves it unchanged), so E both closes the
+                # suffix identity and — via its own cotangent at lane
+                # death — carries the deferred env-parameter gradient the
+                # primal loop's post-loop env evaluation would otherwise
+                # hide from the per-bounce VJP
+                E = eval_environment(sc, st2.ray_d)
+                return (st2.L, st2.throughput, st2.env_weight, E), st2
+            (L2, tp2, ew2, E), vjp_fn, st2 = jax.vjp(local, params,
+                                                     has_aux=True)
+            E_det = jax.lax.stop_gradient(E)
+        else:
+            def local(p):
+                sc = apply_params(scene, p)
+                st2 = vp.bounce(sc, st_det, True)
+                return (st2.L, st2.throughput, st2.env_weight), st2
+            (L2, tp2, ew2), vjp_fn, st2 = jax.vjp(local, params,
+                                                  has_aux=True)
+            # no env parameter is differentiated: evaluate the (envmap
+            # quad gather) radiance OUTSIDE the VJP, detached
+            E_det = eval_environment(sc_det, st2.ray_d)
 
         L2d = jax.lax.stop_gradient(L2)
         tp2d = jax.lax.stop_gradient(tp2)
         ew2d = jax.lax.stop_gradient(ew2)
-        E_det = jax.lax.stop_gradient(E)
         R2 = L2d + ew2d * E_det
         suffix = jnp.where(jnp.abs(tp2d) > 1e-12,
                            (Ltot - R2) / jnp.where(jnp.abs(tp2d) > 1e-12,
@@ -165,10 +249,12 @@ def _replay_walk(scene: Scene, params, seed, spp: int, g_film, pool_L):
         died = was_active & ~still
 
         msk = was_active[:, None]
-        (g_p,) = vjp_fn((jnp.where(msk, delta, 0.0),
-                         jnp.where(msk, delta * suffix, 0.0),
-                         jnp.where(msk, delta * E_det, 0.0),
-                         jnp.where(died[:, None], delta * ew2d, 0.0)))
+        cts = (jnp.where(msk, delta, 0.0),
+               jnp.where(msk, delta * suffix, 0.0),
+               jnp.where(msk, delta * E_det, 0.0))
+        if diff_env:
+            cts = cts + (jnp.where(died[:, None], delta * ew2d, 0.0),)
+        (g_p,) = vjp_fn(cts)
         g = jax.tree_util.tree_map(jnp.add, g, g_p)
 
         st = st2.replace(active=still)
@@ -178,7 +264,8 @@ def _replay_walk(scene: Scene, params, seed, spp: int, g_film, pool_L):
         new_ids = next_s + ranks
         take = died & (new_ids < budget)
         safe_ids = jnp.where(take, new_ids, 0)
-        new_st, _ = _make_lanes(sc_det, safe_ids, seed, spp, 0, n_pix)
+        new_st, _ = _make_lanes(sc_det, safe_ids, seed, spp_total, pix0,
+                                tile_pix, samp0)
         st = _select_state(take, new_st, st)
         nd, nL = seed_aux(safe_ids)
         delta = jnp.where(take[:, None], nd, delta)
@@ -208,7 +295,70 @@ def _grad_replay_jit(scene: Scene, params, seed, spp: int, loss_fn):
     return loss, grads, image
 
 
+# ---------------------------------------------------------------------------
+# tiled schedule (1080p-class films / huge sample budgets): one primal
+# render for the loss image, then independent (tile, spp-chunk) replays
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("spp", "loss_fn"))
+def _tiled_loss_jit(scene: Scene, params, seed, spp: int, loss_fn):
+    """Primal image (tiled regen), loss, and d loss / d accumulated-rgb."""
+    sc = apply_params(scene, _detach(params))
+    acc = render_regen(sc, seed, spp)                        # (h, w, 4)
+    image = film_mod.develop(acc)
+    loss, dL_dI = jax.value_and_grad(loss_fn)(image)
+    wch = acc[..., 3:4]
+    g_rgb = jnp.where(wch > 0, dL_dI / jnp.maximum(wch, 1e-12), 0.0)
+    return loss, image, g_rgb.reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnames=("spp_total", "spp_chunk", "tile_pix"))
+def _tile_grad_jit(scene: Scene, params, seed, g_rgb, pix0, samp0,
+                   spp_total: int, spp_chunk: int, tile_pix: int):
+    """One (pixel-tile, spp-chunk) replay: re-forward with path storage,
+    then the backward walk.  pix0/samp0 are traced so every tile reuses
+    one compiled program."""
+    sc_det = _detach(apply_params(scene, _detach(params)))
+    _, pool_L = _render_regen_tile(sc_det, seed, spp_total, pix0, tile_pix,
+                                   store_paths=True, samp0=samp0,
+                                   spp_chunk=spp_chunk)
+    delta_pool = _delta_pool(scene, g_rgb, seed, spp_total, pix0, tile_pix,
+                             samp0, tile_pix * spp_chunk)
+    return _replay_walk(scene, params, seed, spp_total, delta_pool, pool_L,
+                        pix0, tile_pix, samp0, spp_chunk)
+
+
+def _grad_replay_tiled(scene: Scene, params, loss_fn, spp: int, seed):
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    tile_pix = min(regen_mod.TILE_PIX, n_pix)
+    spp_chunk = max(1, min(spp, MAX_STORE_PATHS // tile_pix))
+    while spp % spp_chunk != 0:
+        spp_chunk -= 1
+    n_tiles = (n_pix + tile_pix - 1) // tile_pix
+    n_chunks = spp // spp_chunk
+
+    loss, image, g_rgb = _tiled_loss_jit(scene, params, seed, spp, loss_fn)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for t in range(n_tiles):
+        for c in range(n_chunks):
+            g = _tile_grad_jit(scene, params, seed, g_rgb,
+                               jnp.uint32(t * tile_pix),
+                               jnp.uint32(c * spp_chunk),
+                               spp, spp_chunk, tile_pix)
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+    return loss, grads, image
+
+
 def render_grad_replay(scene: Scene, params, loss_fn, spp: int = 16,
                        seed: int = 0):
-    """(loss, grads, image) through the replay adjoint."""
-    return _grad_replay_jit(scene, params, seed, spp, loss_fn)
+    """(loss, grads, image) through the replay adjoint.
+
+    Single-walk schedule (custom_vjp, 1 forward + 1 replay) when the film
+    fits one regen tile and the budget fits the path pool; tiled schedule
+    (1 primal + per-(tile,chunk) forward+replay) otherwise — the replay
+    analog of render_regen's tile loop (regen.py:184-200)."""
+    n_pix = scene.film_w * scene.film_h
+    if n_pix <= regen_mod.TILE_PIX and n_pix * spp <= MAX_STORE_PATHS:
+        return _grad_replay_jit(scene, params, seed, spp, loss_fn)
+    return _grad_replay_tiled(scene, params, loss_fn, spp, seed)

@@ -38,15 +38,19 @@ REGEN_WAVEFRONT = int(_os.environ.get("LR_WAVEFRONT", 1 << 16))
 
 
 def _make_lanes(scene: Scene, sample_ids, seed, spp: int, pix0: int = 0,
-                tile_pix: int | None = None):
+                tile_pix: int | None = None, samp0=0):
     """Seed path states for sample indices (pixel-minor ordering so early
     iterations cover the whole film).  pix0/tile_pix restrict the sample
-    pool to a pixel tile (large-film mode)."""
+    pool to a pixel tile (large-film mode); samp0 offsets the per-pixel
+    sample index (spp-chunked replay, prb_replay.py) — the counter RNG
+    keys on the GLOBAL (pixel, sample) pair so any partitioning of the
+    sample budget walks bit-identical paths."""
     w, h = scene.film_w, scene.film_h
     n_pix = tile_pix if tile_pix is not None else w * h
     pix = (sample_ids % n_pix).astype(jnp.uint32) \
         + jnp.asarray(pix0, jnp.uint32)
-    samp = (sample_ids // n_pix).astype(jnp.uint32)
+    samp = (sample_ids // n_pix).astype(jnp.uint32) \
+        + jnp.asarray(samp0, jnp.uint32)
     sampler = make_sampler(pix, samp, seed, kind=scene.sampler_kind, spp=spp)
     px = (pix % w).astype(jnp.float32)
     py = (pix // w).astype(jnp.float32)
@@ -55,6 +59,25 @@ def _make_lanes(scene: Scene, sample_ids, seed, spp: int, pix0: int = 0,
     ray = sample_ray(scene, pos)
     st = vp.init_state(ray, sampler, scene)
     return st, pos
+
+
+def lane_pos(scene: Scene, sample_ids, seed, spp: int, pix0=0,
+             tile_pix: int | None = None, samp0=0):
+    """Film position of each sample id WITHOUT building the path state —
+    same RNG draw as _make_lanes (the camera jitter is the sampler's
+    first 2D), so the PRB replay adjoint can precompute per-sample filter
+    cotangents before its backward walk."""
+    w, h = scene.film_w, scene.film_h
+    n_pix = tile_pix if tile_pix is not None else w * h
+    pix = (sample_ids % n_pix).astype(jnp.uint32) \
+        + jnp.asarray(pix0, jnp.uint32)
+    samp = (sample_ids // n_pix).astype(jnp.uint32) \
+        + jnp.asarray(samp0, jnp.uint32)
+    sampler = make_sampler(pix, samp, seed, kind=scene.sampler_kind, spp=spp)
+    px = (pix % w).astype(jnp.float32)
+    py = (pix // w).astype(jnp.float32)
+    uf, _ = sampler.next_2d()
+    return jnp.stack([px, py], -1) + uf
 
 
 def _select_state(mask, new, old):
@@ -71,19 +94,24 @@ TILE_PIX = 1 << 18
 
 
 def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
-                       store_paths: bool = False):
+                       store_paths: bool = False, samp0=0,
+                       spp_chunk: int | None = None):
     """One regenerating wavefront over a pixel tile -> (tile_pix, 4).
 
     store_paths: additionally record every finished path's radiance into a
-    (tile_pix*spp, 3) pool indexed by sample id — the residual the PRB
-    replay adjoint (integrators/prb_replay.py) needs to reconstruct
-    suffix radiance during its backward walk."""
+    (tile_pix*spp_chunk, 3) pool indexed by sample id — the residual the
+    PRB replay adjoint (integrators/prb_replay.py) needs to reconstruct
+    suffix radiance during its backward walk.
+
+    samp0/spp_chunk: render only samples [samp0, samp0+spp_chunk) of each
+    pixel (spp stays the TOTAL so pattern samplers keep their layout) —
+    the replay adjoint's spp-chunked schedule for budgets past its pool."""
     w, h = scene.film_w, scene.film_h
-    budget = tile_pix * spp
+    budget = tile_pix * (spp if spp_chunk is None else spp_chunk)
     W = min(REGEN_WAVEFRONT, budget)
 
     st, pos = _make_lanes(scene, jnp.arange(W, dtype=jnp.uint32), seed, spp,
-                          pix0, tile_pix)
+                          pix0, tile_pix, samp0)
     sid = jnp.arange(W, dtype=jnp.uint32)
     pool_L = jnp.zeros((budget if store_paths else 1, 3))
     film = jnp.zeros((tile_pix, 4))
@@ -158,7 +186,7 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
         new_ids = next_s + ranks
         take = died & (new_ids < budget)
         new_st, new_pos = _make_lanes(scene, jnp.where(take, new_ids, 0),
-                                      seed, spp, pix0, tile_pix)
+                                      seed, spp, pix0, tile_pix, samp0)
         st = _select_state(take, new_st, st)
         pos = jnp.where(take[:, None], new_pos, pos)
         sid = jnp.where(take, new_ids, sid)

@@ -1191,10 +1191,10 @@ class _Builder:
 
         from ..accel.pallas_intersect import pack_tris
         if n_tris_real:
-            tri_buf, tri_boxes, tri_kperm = pack_tris(v0, v1, v2,
-                                                      bvh_np.perm)
+            tri_buf, tri_boxes, tri_kperm, tri_center = pack_tris(
+                v0, v1, v2, bvh_np.perm)
         else:
-            tri_buf, tri_boxes, tri_kperm = pack_tris(
+            tri_buf, tri_boxes, tri_kperm, tri_center = pack_tris(
                 np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.float32))
 
@@ -1542,6 +1542,7 @@ class _Builder:
             tri_buf=jnp.asarray(tri_buf),
             tri_boxes=jnp.asarray(tri_boxes),
             tri_kperm=jnp.asarray(tri_kperm),
+            tri_center=jnp.asarray(tri_center),
             tri_si=jnp.asarray(tri_si),
             # ray sorting measured net-negative on TPU (XLA argsort of a
             # 1M-lane wavefront ~180ms vs ~100ms intersect); opt-in only

@@ -403,6 +403,10 @@ class Scene:
     tri_buf: Array
     tri_boxes: Array
     tri_kperm: Array
+    # (3,) local-frame origin of the packed buffer (scene-AABB midpoint):
+    # Baldwin-Weber rows are computed and queried relative to it so the
+    # kernel keeps fp32 precision for scenes far from the world origin
+    tri_center: Array
     # (T, 25) packed per-triangle interaction row: p0 e1 e2 n0 n1 n2
     # uv0 uv1 uv2 shape — compute_si reads ONE gather instead of 11
     # (vertex-indexed gathers are multi-ms custom kernels on TPU)

@@ -79,7 +79,13 @@ def refresh_vertex_geometry(scene: Scene, V, recompute_normals: bool = True
     kperm = scene.tri_kperm
     valid = kperm >= 0
     fo = F[jnp.maximum(kperm, 0)]
-    b0, b1, b2 = Vd[fo[:, 0]], Vd[fo[:, 1]], Vd[fo[:, 2]]
+    # re-pack in a FRESH local frame (AABB midpoint of the moved verts):
+    # Baldwin-Weber rows lose fp32 precision far from their frame origin
+    # (pack_tris centering rationale), and large vertex motion can carry
+    # the mesh arbitrarily far from the original scene.tri_center —
+    # intersect_tris shifts rays by whatever center is stored
+    c = 0.5 * (jnp.min(Vd, 0) + jnp.max(Vd, 0))[None]
+    b0, b1, b2 = Vd[fo[:, 0]] - c, Vd[fo[:, 1]] - c, Vd[fo[:, 2]] - c
     vm = valid[:, None]
     from .accel.pallas_intersect import bw_rows
     n_r, dn, r1, d1, r2, d2 = bw_rows(b0, b1, b2, xp=jnp)
@@ -100,7 +106,8 @@ def refresh_vertex_geometry(scene: Scene, V, recompute_normals: bool = True
         [lo, hi, scene.tri_boxes[:, 6:8]], -1)
 
     return scene.replace(vertices=V, normals=normals, tri_si=tri_si,
-                         tri_buf=tri_buf, tri_boxes=tri_boxes)
+                         tri_buf=tri_buf, tri_boxes=tri_boxes,
+                         tri_center=c[0])
 
 
 # leaf key -> (getter, setter)

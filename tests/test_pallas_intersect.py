@@ -56,6 +56,43 @@ def test_pallas_matches_brute(np_rng):
     np.testing.assert_allclose(pp3, pb3, rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_far_from_origin_matches_brute(np_rng):
+    """Scene translated ~1e4 units from the world origin: Baldwin-Weber's
+    dn - n.o / r.p + d terms cancel catastrophically in fp32 without the
+    local-frame re-centering (pack_tris `center`); Moeller-Trumbore (the
+    brute path) subtracts o - p0 first and is the precision reference."""
+    OFF = np.array([1.0e4, -7.0e3, 5.0e3], np.float32)
+    d = lr.cornell_box()
+    d["sensor"]["film"]["width"] = 8
+    d["sensor"]["film"]["height"] = 8
+    scene = lr.load_dict(d)
+    from liverrenderer_tpu.util import refresh_vertex_geometry
+    # move the whole scene far away; the refit must adopt a fresh local
+    # frame (this also covers the re-centering in the refit path itself)
+    scene = refresh_vertex_geometry(scene, scene.vertices + OFF[None])
+
+    n_rays = 512
+    o = jnp.asarray(np_rng.uniform(-0.8, 0.8, (n_rays, 3)) + OFF,
+                    jnp.float32)
+    dirs = np_rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    ray = Ray(o=o, d=jnp.asarray(dirs), maxt=jnp.full((n_rays,), jnp.inf))
+
+    tb, pb, _, _, _ = ray_intersect_preliminary(
+        scene.replace(intersector="brute"), ray)
+    with pltpu.force_tpu_interpret_mode():
+        tp, pp, _, _, _ = ray_intersect_preliminary(
+            scene.replace(intersector="pallas"), ray)
+    tb, pb, tp, pp = map(np.asarray, (tb, pb, tp, pp))
+    hit_b = pb >= 0
+    assert hit_b.sum() > 100
+    # identical hit sets (the failure mode is silent misses) and t within
+    # a loose fp32 bound — without re-centering ~half the rays miss
+    assert (hit_b == (pp >= 0)).mean() > 0.995
+    both = hit_b & (pp >= 0)
+    np.testing.assert_allclose(tp[both], tb[both], rtol=1e-3, atol=1e-3)
+
+
 def test_pallas_respects_maxt(np_rng):
     scene, ray = _rand_scene_and_rays(np_rng, n_rays=256)
     with pltpu.force_tpu_interpret_mode():
@@ -82,7 +119,7 @@ def test_streaming_kernel_matches_numpy(np_rng, monkeypatch):
     v0 = np_rng.uniform(-1, 1, (T, 3)).astype(np.float32)
     v1 = v0 + np_rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
     v2 = v0 + np_rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
-    buf, boxes, kperm = pk.pack_tris(v0, v1, v2)
+    buf, boxes, kperm, center = pk.pack_tris(v0, v1, v2)
     assert buf.shape[0] == 1536 and buf.shape[0] % pk.SUPER_T == 0
 
     o = np_rng.uniform(-2, 2, (R, 3)).astype(np.float32)
@@ -94,7 +131,7 @@ def test_streaming_kernel_matches_numpy(np_rng, monkeypatch):
         t, prim, _, _ = pk.intersect_tris(
             jnp.asarray(buf), jnp.asarray(boxes), jnp.asarray(kperm),
             jnp.asarray(o), jnp.asarray(d), jnp.full((R,), np.inf),
-            jnp.full((R,), np.inf))
+            jnp.full((R,), np.inf), center=jnp.asarray(center))
     t, prim = np.asarray(t), np.asarray(prim)
 
     # numpy closest-hit reference

@@ -13,7 +13,7 @@ import liverrenderer_tpu as lr
 from liverrenderer_tpu.scene.builder import load_dict
 
 
-def _slab_scene(sigma_t=0.6, albedo=0.0):
+def _slab_scene(sigma_t=0.6, albedo=0.0, rfilter="box", res=4):
     return load_dict({
         "type": "scene",
         "integrator": {"type": "volpath", "max_depth": 8},
@@ -21,8 +21,8 @@ def _slab_scene(sigma_t=0.6, albedo=0.0):
             "type": "perspective", "fov": 3.0,
             "to_world": lr.Transform().look_at([0, 0, 5], [0, 0, 0],
                                                [0, 1, 0]),
-            "film": {"type": "hdrfilm", "width": 4, "height": 4,
-                     "rfilter": {"type": "box"}},
+            "film": {"type": "hdrfilm", "width": res, "height": res,
+                     "rfilter": {"type": rfilter}},
         },
         "ball": {"type": "sphere", "radius": 1.0, "bsdf": {"type": "null"},
                  "interior": {"type": "homogeneous",
@@ -78,6 +78,57 @@ def test_replay_matches_scan_adjoint_scattering():
     # the primal image is the stock regen estimate either way
     np.testing.assert_allclose(np.asarray(img_r), np.asarray(img_s),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_replay_applicable_tent_and_large_films():
+    """Round-3 coverage: the reference's RBIntegrator works at any film
+    size/filter (common.py:625-783) — tent filters and 1080p-class films
+    must route to the replay adjoint (tiled schedule), not the 6x scan."""
+    from liverrenderer_tpu.integrators.prb_replay import replay_applicable
+    scene = _slab_scene(rfilter="tent")
+    assert replay_applicable(scene, {"media.params": scene.media.params}, 32)
+    big = scene.replace(film_w=1920, film_h=1080)
+    assert replay_applicable(big, {"media.params": big.media.params}, 256)
+
+
+def test_replay_tent_filter_matches_scan():
+    """Tent-filter delta (the 2x2 splat adjoint) against the scan adjoint,
+    which differentiates the film.splat tent weights directly."""
+    scene = _slab_scene(sigma_t=1.0, albedo=0.6, rfilter="tent", res=6)
+    params = {"media.params": scene.media.params}
+    _, g_r, _ = lr.render_grad(scene, params, _loss, spp=64, seed=11,
+                               replay=True)
+    _, g_s, _ = lr.render_grad(scene, params, _loss, spp=64, seed=11,
+                               replay=False)
+    a = np.asarray(g_r["media.params"])
+    b = np.asarray(g_s["media.params"])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    cos = (a * b).sum() / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(np.linalg.norm(a), np.linalg.norm(b),
+                               rtol=0.02)
+
+
+def test_replay_tiled_schedule_matches_single_walk(monkeypatch):
+    """Forcing the tiled (tile x spp-chunk) schedule on a tiny scene must
+    reproduce the single-walk gradients — the counter RNG walks identical
+    paths under any partition of the sample budget."""
+    from liverrenderer_tpu.integrators import prb_replay, regen
+    scene = _slab_scene(sigma_t=1.2, albedo=0.7, res=8)
+    params = {"media.params": scene.media.params}
+    _, g_one, img_one = lr.render_grad(scene, params, _loss, spp=16, seed=3,
+                                       replay=True)
+
+    # 64 pixels -> 4 tiles of 16; pool cap 128 paths -> spp chunks of 8
+    monkeypatch.setattr(regen, "TILE_PIX", 16)
+    monkeypatch.setattr(prb_replay, "MAX_STORE_PATHS", 16 * 8)
+    _, g_t, img_t = lr.render_grad(scene, params, _loss, spp=16, seed=3,
+                                   replay=True)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_one),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_t["media.params"]),
+                               np.asarray(g_one["media.params"]),
+                               rtol=2e-3, atol=1e-7)
 
 
 def test_replay_env_radiance_gradient():

@@ -89,32 +89,64 @@ def main():
 
     results = {}
     for name, (vv, ff) in (("327k", (v, f)), ("1.3M", (v8, f8))):
-        buf, boxes, kperm = pk.pack_tris(vv[ff[:, 0]], vv[ff[:, 1]],
-                                         vv[ff[:, 2]])
+        # pack in BVH-leaf order (the production path, builder.py): the
+        # chunk/superblock AABB culling depends on spatial locality
+        from liverrenderer_tpu.accel.bvh import build_bvh
+        perm = build_bvh(vv[ff[:, 0]], vv[ff[:, 1]], vv[ff[:, 2]]).perm
+        buf, boxes, kperm, center = pk.pack_tris(
+            vv[ff[:, 0]], vv[ff[:, 1]], vv[ff[:, 2]], perm)
         bufj = jnp.asarray(buf)
         boxesj = jnp.asarray(boxes)
         kpj = jnp.asarray(kperm)
+        cj = jnp.asarray(center)
 
-        def run():
-            t, prim, _, _ = pk.intersect_tris(bufj, boxesj, kpj, oj, dj,
-                                              inf, inf)
-            t.block_until_ready()
-            return t, prim
-        dt = time_kernel(run)
-        t, prim = run()
-        hit_rate = float((np.asarray(prim) >= 0).mean())
-        results[name] = {
-            "tris": int(len(ff)),
-            "rays_per_s": round(N_RAYS / dt),
-            "ray_tri_tests_per_s": round(N_RAYS * len(ff) / dt),
-            "ms": round(dt * 1e3, 2),
-            "hit_rate": round(hit_rate, 3),
-        }
+        for sort in (False, True):
+            def run():
+                t, prim, _, _ = pk.intersect_tris(bufj, boxesj, kpj, oj, dj,
+                                                  inf, inf, sort=sort,
+                                                  center=cj)
+                t.block_until_ready()
+                return t, prim
+            dt = time_kernel(run)
+            t, prim = run()
+            hit_rate = float((np.asarray(prim) >= 0).mean())
+            results[name + ("_sorted" if sort else "")] = {
+                "tris": int(len(ff)),
+                "rays_per_s": round(N_RAYS / dt),
+                "ray_tri_tests_per_s": round(N_RAYS * len(ff) / dt),
+                "ms": round(dt * 1e3, 2),
+                "hit_rate": round(hit_rate, 3),
+            }
 
-    # BVH fallback comparison on the 327k mesh through the scene API
+    # BVH fallback comparison on the 327k mesh, in a SUBPROCESS: a device
+    # fault or watchdog kill inside the lockstep traversal must not poison
+    # this process's TPU client (observed: "TPU device error" leaking into
+    # subsequent launches)
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, __file__, "--bvh-child"],
+        timeout=1800, capture_output=True, text=True)
+    try:
+        results["bvh_327k"] = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:                          # noqa: BLE001
+        results["bvh_327k"] = {"error": (r.stderr or r.stdout)[-300:]}
+
+    print(json.dumps({"metric": "streaming intersect rays/s",
+                      "value": results["1.3M"]["rays_per_s"],
+                      "unit": "rays/s", "extra": results}))
+
+
+def bvh_child():
+    """Time the lockstep-BVH strategy on the 327k icosphere (subprocess
+    entry; prints one JSON line)."""
     import liverrenderer_tpu as lr
     from liverrenderer_tpu.accel.intersect import ray_intersect_preliminary
     from liverrenderer_tpu.core.types import Ray
+
+    rng = np.random.default_rng(0)
+    v, f = icosphere(7)
+    o, d = make_rays(N_RAYS := 1 << 18, rng)
     scene = lr.load_dict({
         "type": "scene",
         "integrator": {"type": "path"},
@@ -124,33 +156,29 @@ def main():
                    "film": {"type": "hdrfilm", "width": 8, "height": 8}},
         "mesh": {"type": "mesh", "vertices": v, "faces": f},
     })
-    ray = Ray(o=oj, d=dj, maxt=inf)
+    ray = Ray(o=jnp.asarray(o), d=jnp.asarray(d),
+              maxt=jnp.full((N_RAYS,), jnp.inf))
+    sc = scene.replace(intersector="bvh")
 
-    def run_mode(mode):
-        sc = scene.replace(intersector=mode)
+    @jax.jit
+    def go(sc, ray):
+        return ray_intersect_preliminary(sc, ray)
 
-        @jax.jit
-        def go(sc, ray):
-            return ray_intersect_preliminary(sc, ray)
+    out = go(sc, ray)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
         out = go(sc, ray)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = go(sc, ray)
-            jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / 3
-
-    try:
-        dt_bvh = run_mode("bvh")
-        results["bvh_327k"] = {"rays_per_s": round(N_RAYS / dt_bvh),
-                               "ms": round(dt_bvh * 1e3, 2)}
-    except Exception as e:                     # noqa: BLE001
-        results["bvh_327k"] = {"error": str(e)[:120]}
-
-    print(json.dumps({"metric": "streaming intersect rays/s",
-                      "value": results["1.3M"]["rays_per_s"],
-                      "unit": "rays/s", "extra": results}))
+    dt = (time.perf_counter() - t0) / 3
+    hit = float((np.asarray(out[1]) >= 0).mean())
+    print(json.dumps({"rays_per_s": round(N_RAYS / dt),
+                      "ms": round(dt * 1e3, 2), "hit_rate": round(hit, 3)}))
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--bvh-child" in _sys.argv:
+        bvh_child()
+    else:
+        main()
