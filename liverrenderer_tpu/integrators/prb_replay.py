@@ -63,9 +63,11 @@ from .regen import (REGEN_WAVEFRONT, _make_lanes, _select_state,
 
 Array = jax.Array
 
-# per-walk path-pool cap: paths * (12 B radiance + 12 B delta);
-# 32M paths = 768 MB HBM.  Budgets past it are spp-chunked (tiled path).
-MAX_STORE_PATHS = 32 * (1 << 20)
+# per-walk path-pool cap.  Chosen so the packed pool (regen._POOL_PACK
+# samples/row) stays <= 2^18 rows — the XLA scatter kernel is ~3x slower
+# into larger tables (measured v5e, prof round-3), so the tiled schedule
+# spp-chunks budgets past this instead of growing the pool.
+MAX_STORE_PATHS = 8 * (1 << 18)
 
 # parameter keys whose leaves can reach eval_environment: when none is
 # being differentiated the backward walk evaluates env radiance DETACHED
@@ -122,11 +124,13 @@ def _delta_from_pos(scene: Scene, g_rgb: Array, pos: Array) -> Array:
     return jnp.where(in_range[:, None], g_rgb[py * w + px], 0.0)
 
 
-def _delta_pool(scene: Scene, g_rgb, seed, spp_total: int, pix0, tile_pix,
-                samp0, budget: int) -> Array:
-    """Precompute every sample id's loss cotangent (the filter adjoint) in
-    one batched sweep, so the backward walk's lane-rebirth path costs one
-    pool gather instead of one gather per filter tap."""
+def _aux_pool(scene: Scene, g_rgb, pool_L, seed, spp_total: int, pix0,
+              tile_pix, samp0, budget: int) -> Array:
+    """Per-sample [delta (filter-adjoint loss cotangent) | L_total] rows,
+    (budget, 6), precomputed in one batched sweep.  Merging both tables
+    means the backward walk's lane-rebirth path costs ONE pool gather —
+    gathers are ~16 ns/lane on v5e, one per iteration adds ~20% to the
+    walk."""
     CH = min(1 << 20, budget)
     n_chunks = (budget + CH - 1) // CH
 
@@ -135,9 +139,14 @@ def _delta_pool(scene: Scene, g_rgb, seed, spp_total: int, pix0, tile_pix,
         pos = lane_pos(scene, ids, seed, spp_total, pix0, tile_pix, samp0)
         d = _delta_from_pos(scene, g_rgb, pos)
         d = jnp.where((ids < budget)[:, None], d, 0.0)
-        return jax.lax.dynamic_update_slice(pool, d, (i * CH, 0))
+        row = jnp.concatenate(
+            [d, jax.lax.dynamic_slice(pool_L, (i * CH, 0), (CH, 3))], -1)
+        return jax.lax.dynamic_update_slice(pool, row, (i * CH, 0))
 
-    pool = jnp.zeros((n_chunks * CH, 3))
+    if budget % CH:                      # pad so the L slice stays in step
+        pool_L = jnp.concatenate(
+            [pool_L, jnp.zeros((n_chunks * CH - budget, 3))], 0)
+    pool = jnp.zeros((n_chunks * CH, 6))
     pool = jax.lax.fori_loop(0, n_chunks, body, pool)
     return pool[:budget]
 
@@ -167,17 +176,16 @@ def _render_acc_bwd(spp, res, g_film):
     scene, params, seed, pool_L = res
     n_pix = scene.film_w * scene.film_h
     g_rgb = g_film.reshape(n_pix, 4)[:, 0:3]
-    delta_pool = _delta_pool(scene, g_rgb, seed, spp, 0, n_pix, 0,
-                             n_pix * spp)
-    grads = _replay_walk(scene, params, seed, spp, delta_pool, pool_L,
-                         0, n_pix, 0, spp)
+    aux = _aux_pool(scene, g_rgb, pool_L, seed, spp, 0, n_pix, 0,
+                    n_pix * spp)
+    grads = _replay_walk(scene, params, seed, spp, aux, 0, n_pix, 0, spp)
     scene_ct = jax.tree_util.tree_map(_zero_cotangent, scene)
     seed_ct = _zero_cotangent(seed)
     return scene_ct, grads, seed_ct
 
 
-def _replay_walk(scene: Scene, params, seed, spp_total: int, delta_pool,
-                 pool_L, pix0, tile_pix: int, samp0, spp_chunk: int):
+def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
+                 pix0, tile_pix: int, samp0, spp_chunk: int):
     """The backward regen walk over one (pixel-tile, spp-chunk): replays
     the forward trajectories (same counter RNG) and accumulates parameter
     VJPs bounce by bounce."""
@@ -187,7 +195,8 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, delta_pool,
     diff_env = any(k in _ENV_KEYS for k in params)
 
     def seed_aux(ids):
-        return delta_pool[ids], pool_L[ids]
+        rows = aux_pool[ids]             # ONE gather: [delta | Ltot]
+        return rows[:, 0:3], rows[:, 3:6]
 
     st, pos = _make_lanes(sc_det, jnp.arange(W, dtype=jnp.uint32), seed,
                           spp_total, pix0, tile_pix, samp0)
@@ -322,9 +331,9 @@ def _tile_grad_jit(scene: Scene, params, seed, g_rgb, pix0, samp0,
     _, pool_L = _render_regen_tile(sc_det, seed, spp_total, pix0, tile_pix,
                                    store_paths=True, samp0=samp0,
                                    spp_chunk=spp_chunk)
-    delta_pool = _delta_pool(scene, g_rgb, seed, spp_total, pix0, tile_pix,
-                             samp0, tile_pix * spp_chunk)
-    return _replay_walk(scene, params, seed, spp_total, delta_pool, pool_L,
+    aux = _aux_pool(scene, g_rgb, pool_L, seed, spp_total, pix0, tile_pix,
+                    samp0, tile_pix * spp_chunk)
+    return _replay_walk(scene, params, seed, spp_total, aux,
                         pix0, tile_pix, samp0, spp_chunk)
 
 

@@ -92,6 +92,9 @@ def _select_state(mask, new, old):
 # (measured: 1080p film doubled per-iteration cost)
 TILE_PIX = 1 << 18
 
+# path-pool packing factor (see _render_regen_tile store_paths)
+_POOL_PACK = 8
+
 
 def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
                        store_paths: bool = False, samp0=0,
@@ -106,14 +109,26 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
     samp0/spp_chunk: render only samples [samp0, samp0+spp_chunk) of each
     pixel (spp stays the TOTAL so pattern samplers keep their layout) —
     the replay adjoint's spp-chunked schedule for budgets past its pool."""
+    from ..scene.ir import FILTER_TENT
     w, h = scene.film_w, scene.film_h
     budget = tile_pix * (spp if spp_chunk is None else spp_chunk)
     W = min(REGEN_WAVEFRONT, budget)
+    # Measured dead end (round 3, v5e): replacing the in-loop film
+    # scatter-add with a post-loop per-pixel reduction of the path pool
+    # (box pixel == sid % tile_pix) ran 8% SLOWER than keeping the splat —
+    # dropping the film from the loop carry appears to break the pool
+    # buffer's in-place aliasing.  Keep the in-loop splat.
 
     st, pos = _make_lanes(scene, jnp.arange(W, dtype=jnp.uint32), seed, spp,
                           pix0, tile_pix, samp0)
     sid = jnp.arange(W, dtype=jnp.uint32)
-    pool_L = jnp.zeros((budget if store_paths else 1, 3))
+    # path pool, PACKED 8 samples per row (row = sid>>3, columns
+    # [3*(sid&7), +3)): the XLA scatter kernel is ~3x cheaper into
+    # <= 2^18-row tables (measured v5e: 1.1-1.3 ms vs 3.0 ms per 64k-lane
+    # op, nearly width-independent), so wide-few-rows is the fast layout
+    # for the per-iteration store; the walk reads the reshaped flat view
+    n_rows = ((budget + _POOL_PACK - 1) // _POOL_PACK) if store_paths else 1
+    pool_L = jnp.zeros((n_rows, 3 * _POOL_PACK))
     film = jnp.zeros((tile_pix, 4))
     refills = (budget + W - 1) // W
     # per-lane iteration budget matches the fixed wavefront's loop cap
@@ -144,11 +159,15 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
         L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
         if store_paths:
-            pool_idx = jnp.where(died, sid, jnp.uint32(budget))
-            pool_L = pool_L.at[pool_idx].set(L, mode="drop")
+            row = jnp.where(died, sid // _POOL_PACK, jnp.uint32(n_rows))
+            blk = (sid % _POOL_PACK).astype(jnp.int32)
+            onehot = blk[:, None] == jnp.arange(_POOL_PACK)[None, :]
+            vals = (onehot[:, :, None] * L[:, None, :]).reshape(
+                W, 3 * _POOL_PACK)
+            # each sample dies exactly once -> add == set on zeros
+            pool_L = pool_L.at[row].add(vals, mode="drop")
         in_range = pos[:, 1] < h
         p0i = jnp.asarray(pix0, jnp.int32)
-        from ..scene.ir import FILTER_TENT
         if scene.rfilter == FILTER_TENT:
             ix0 = jnp.floor(pos[:, 0] - 0.5).astype(jnp.int32)
             iy0 = jnp.floor(pos[:, 1] - 0.5).astype(jnp.int32)
@@ -200,7 +219,8 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
     st, pos, sid, film, pool_L, age, next_s, it = jax.lax.while_loop(
         cond, body, init)
     if store_paths:
-        return film, pool_L
+        # flat (budget, 3) view: row r cols [3c,3c+3) == sample r*PACK+c
+        return film, pool_L.reshape(-1, 3)[:budget]
     return film
 
 
