@@ -116,6 +116,42 @@ def main():
             np.asarray(grads["media.params"])).all()),
         "baseline_paths_per_s": round(BASELINE_PATHS_PER_S),
     }
+
+    # ---- the literal reference config: 1920x1080 @ 256 spp primal, and
+    # fwd+bwd at 1080p through the tiled replay adjoint (VERDICT r2 #1/#7;
+    # reference wall time 2.6806 min, time.txt) ----
+    if platform == "tpu":
+        sc_hd = lr.load_file(SCENE, res_width=1920, res_height=1080,
+                             spp=256)
+        img = lr.render(sc_hd, spp=256, seed=0)      # compile
+        np.asarray(img)
+        t0 = time.perf_counter()
+        img = lr.render(sc_hd, spp=256, seed=1)
+        np.asarray(img)
+        dt_hd = time.perf_counter() - t0
+        extra["hd_1080p_256spp"] = {
+            "wall_s": round(dt_hd, 2),
+            "paths_per_s": round(1920 * 1080 * 256 / dt_hd),
+            "reference_wall_s": round(2.6806 * 60, 2),
+            "speedup_vs_reference": round(2.6806 * 60 / dt_hd, 3),
+        }
+        hd_params = {"media.params": sc_hd.media.params}
+        lhd, ghd, _ = lr.render_grad(sc_hd, hd_params, loss_fn, spp=16,
+                                     seed=0)
+        np.asarray(ghd["media.params"])
+        t0 = time.perf_counter()
+        lhd, ghd, _ = lr.render_grad(sc_hd, hd_params, loss_fn, spp=16,
+                                     seed=1)
+        np.asarray(ghd["media.params"])
+        dt_hdg = time.perf_counter() - t0
+        extra["hd_1080p_fwdbwd_16spp"] = {
+            "wall_s": round(dt_hdg, 2),
+            "fwdbwd_paths_per_s": round(1920 * 1080 * 16 / dt_hdg),
+            "fwdbwd_over_primal_cost":
+                round(dt_hdg / dt_hd * (256 / 16), 3),
+            "grad_finite": bool(np.isfinite(
+                np.asarray(ghd["media.params"])).all()),
+        }
     if platform != "tpu":
         extra["note"] = ("TPU tunnel unreachable; CPU fallback at tiny "
                          "size — vs_baseline NOT comparable, the "

@@ -404,6 +404,15 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     hit_sph = sph >= 0
     hit = hit_tri | hit_sph
 
+    # miss lanes carry garbage preliminary (t, u, v) (inf best-t, strategy-
+    # dependent barycentrics); p_tri = p0 + e1*u + ... with non-finite u
+    # poisons the BACKWARD of every masked consumer (0 cotangent x
+    # inf Jacobian lands on the tri_si gather), so sanitize BEFORE use —
+    # t_out below restores INF for misses
+    u = jnp.where(hit_tri & jnp.isfinite(u), u, 0.0)
+    v = jnp.where(hit_tri & jnp.isfinite(v), v, 0.0)
+    t = jnp.where(hit & jnp.isfinite(t), t, 1.0)
+
     prim_s = jnp.maximum(prim, 0)
     # single packed gather per lane (see Scene.tri_si)
     row = scene.tri_si[prim_s]

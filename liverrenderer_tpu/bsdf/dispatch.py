@@ -66,6 +66,21 @@ def _flip_z(v):
     return jnp.stack([v[..., 0], v[..., 1], -v[..., 2]], -1)
 
 
+def _sanitize_dir(v):
+    """Replace non-finite / degenerate direction rows with +z.
+
+    Masked-off lanes carry garbage interactions (missed rays -> zero
+    shading frames -> zero/NaN local directions); the families' masked
+    selects zero their PRIMAL contribution, but a NaN produced inside
+    (e.g. normalize(wi+wo) on a zero vector) still poisons reverse-mode
+    through the 0-cotangent x NaN-Jacobian product — the same rule as the
+    detached-sampling note in media/dispatch.py, applied to the BSDF
+    dispatch boundary."""
+    ok = jnp.isfinite(v).all(-1) & (jnp.sum(v * v, -1) > 0.25)
+    return jnp.where(ok[..., None], jnp.where(jnp.isfinite(v), v, 0.0),
+                     jnp.array([0.0, 0.0, 1.0]))
+
+
 def bsdf_albedo(scene: Scene, si, bsdf_idx):
     """Approximate surface albedo (the primary reflectance texture) — used
     by the AOV integrator and denoiser feature buffers."""
@@ -168,7 +183,10 @@ def _roughconductor_eval(wi, wo, p, t0, t1):
     ci = m.cos_theta(wi)
     co = m.cos_theta(wo)
     act = (ci > 0) & (co > 0)
-    h = m.normalize(wi + wo)
+    # act implies wi+wo has positive z; inactive lanes get +z so the
+    # normalize cannot emit a reverse-mode NaN under the masked select
+    h = m.normalize(jnp.where(act[..., None], wi + wo,
+                              jnp.array([0.0, 0.0, 1.0])))
     d = mf.ggx_d(h, ax, ay)
     g = mf.ggx_smith_g1(wi, h, ax, ay) * mf.ggx_smith_g1(wo, h, ax, ay)
     F = fr.fresnel_conductor(jnp.sum(wi * h, -1), p[..., 0:3], p[..., 3:6])
@@ -977,7 +995,7 @@ def bsdf_sample(scene: Scene, si, bsdf_idx, u1, u2) -> BSDFSample:
     idx = jnp.maximum(bsdf_idx, 0)
     btype = m.table_lookup(b.btype, idx)
     twosided = m.table_lookup(b.twosided, idx)
-    wi = si.wi
+    wi = _sanitize_dir(si.wi)
     flip = twosided & (m.cos_theta(wi) < 0)
     wi_f = jnp.where(flip[..., None], _flip_z(wi), wi)
 
@@ -1047,7 +1065,8 @@ def bsdf_eval_pdf(scene: Scene, si, bsdf_idx, wo) -> Tuple:
     idx = jnp.maximum(bsdf_idx, 0)
     btype = m.table_lookup(b.btype, idx)
     twosided = m.table_lookup(b.twosided, idx)
-    wi = si.wi
+    wi = _sanitize_dir(si.wi)
+    wo = _sanitize_dir(wo)
     flip = twosided & (m.cos_theta(wi) < 0)
     wi_f = jnp.where(flip[..., None], _flip_z(wi), wi)
     wo_f = jnp.where(flip[..., None], _flip_z(wo), wo)

@@ -2,6 +2,7 @@
 {vector.h,frame.h,math.h} utilities), written as fused VPU-friendly jnp ops."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .types import Frame
@@ -30,8 +31,22 @@ def cross(a, b):
     return jnp.cross(a, b)
 
 
+@jax.custom_jvp
 def safe_sqrt(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    # sqrt's derivative blows up at 0; masked-SIMD dispatch feeds exact
+    # zeros here for lanes of OTHER bsdf families (e.g. fresnel_conductor
+    # with eta_im = 0), and the resulting inf Jacobian x 0 cotangent NaNs
+    # every reverse pass that touches the family (vertex gradients through
+    # roughconductor).  Clamp the derivative instead.
+    (x,), (dx,) = primals, tangents
+    y = jnp.sqrt(jnp.maximum(x, 0.0))
+    dy = jnp.where(x > 1e-12, 0.5 / jnp.maximum(y, 1e-12), 0.0) * dx
+    return y, dy
 
 
 def safe_rsqrt(x):

@@ -67,8 +67,13 @@ def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> PathState:
     )
 
 
-def bounce(scene: Scene, st: PathState) -> PathState:
-    """One wavefront bounce; identical structure for primal & AD modes."""
+def bounce(scene: Scene, st: PathState, ad: bool = False) -> PathState:
+    """One wavefront bounce.  ad=True applies the detached-sampling rule
+    to the surface chain (path.cpp:294-306): the continuation ray is
+    DETACHED and the throughput factor re-evaluated differentiably at the
+    detached direction — attached VNDF/frame sampling has unbounded
+    Jacobians at grazing configurations (1/cos terms) that NaN every
+    reverse pass through rough lobes."""
     n = st.ray_o.shape[0]
     active = st.active
     ray = Ray(o=st.ray_o, d=st.ray_d, maxt=jnp.full((n,), jnp.inf))
@@ -130,7 +135,25 @@ def bounce(scene: Scene, st: PathState) -> PathState:
                                     jnp.maximum(si.shape, 0)), ub1, ub2)
     wo_world = si.to_world(bs.wo)
     new_ray = si.spawn_ray(wo_world)
-    throughput = st.throughput * bs.weight
+    weight = bs.weight
+    if ad:
+        # detach the ray; recover the bounce-local differentiable factor
+        # by re-evaluating smooth lobes at the detached direction
+        # (delta lobes keep the sampled weight — their Fresnel is attached
+        # through wi only and eval() is zero by contract)
+        new_ray = Ray(o=jax.lax.stop_gradient(new_ray.o),
+                      d=jax.lax.stop_gradient(new_ray.d),
+                      maxt=new_ray.maxt)
+        wo_re = si.to_local(jax.lax.stop_gradient(wo_world))
+        val2, _ = bsdf_eval_pdf(
+            scene, si, m.table_lookup(scene.shape_bsdf,
+                                      jnp.maximum(si.shape, 0)), wo_re)
+        w_re = val2 / jnp.maximum(
+            jax.lax.stop_gradient(bs.pdf), 1e-12)[:, None]
+        smooth_lobe = (bs.sampled_type & F_DELTA) == 0
+        weight = jnp.where(smooth_lobe[:, None], w_re,
+                           jax.lax.stop_gradient(bs.weight))
+    throughput = st.throughput * weight
     eta = st.eta * bs.eta
     sampled_smooth = (bs.sampled_type & F_DELTA) == 0
     alive = active_next & (bs.pdf > 0) \
@@ -213,7 +236,7 @@ def sample(scene: Scene, sampler: Sampler, ray: Ray, mode: str = "primal"):
         # reverse-AD needs a static trip count; remat each bounce so the
         # backward pass recomputes instead of storing per-bounce activations
         # (the scan carry is the only retained state — PRB's memory profile).
-        body = jax.checkpoint(lambda s: bounce(scene, s))
+        body = jax.checkpoint(lambda s: bounce(scene, s, ad=True))
 
         def step(s, _):
             return body(s), None

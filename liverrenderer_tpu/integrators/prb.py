@@ -103,14 +103,19 @@ def render_grad(scene: Scene, params: Dict[str, Array], loss_fn: Callable,
     if out is None:
         out = _render_grad_scan(scene, params, loss_fn, spp, seed, spp_pass)
     if "vertices" in params:
-        # visibility (boundary) term: silhouette-sampled film-space line
-        # integral (integrators/projective.py; reference direct_projective)
-        from .projective import boundary_gradient
+        # visibility (boundary) terms: primarily-visible silhouettes
+        # (film-space line integral) + one-indirect-bounce silhouettes
+        # (direction-domain line integral at the first hit) —
+        # integrators/projective.py; reference direct_projective +
+        # prb_projective indirect phase
+        from .projective import boundary_gradient, indirect_boundary_gradient
         loss, grads, image = out
         delta = jax.grad(lambda im: loss_fn(im))(image)
         g_b = boundary_gradient(scene, params, delta, seed=seed + 7)
+        g_i = indirect_boundary_gradient(scene, params, delta,
+                                         seed=seed + 13)
         grads = dict(grads)
-        grads["vertices"] = grads["vertices"] + g_b
+        grads["vertices"] = grads["vertices"] + g_b + g_i
         out = (loss, grads, image)
     return out
 

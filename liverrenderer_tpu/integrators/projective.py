@@ -233,6 +233,178 @@ def _sil_weights_jit(scene: Scene, Vd: Array, edge_v: Array, edge_f: Array):
     return silhouette_weights(scene, Vd, edge_v, edge_f)[0]
 
 
+@partial(jax.jit, static_argnames=("n_samples", "sil_depth"))
+def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
+                                edge_f: Array, delta: Array, seed,
+                                n_samples: int, sil_depth: int,
+                                eps_ang: float = 1e-3):
+    """Vertex-position cotangent of the ONE-INDIRECT-BOUNCE visibility
+    boundary term: silhouettes seen from the first path vertex z1 (e.g.
+    an occluder visible only in a rough-mirror reflection).
+
+    TPU-native analog of the reference's indirect projective phase
+    (ad/projective.py:614-833 ProjectOperation + common.py:786+
+    PSIntegrator indirect boundary sampling + prb_projective.py:8): the
+    boundary now lives in the DIRECTION domain at z1,
+
+        dI_pix/dtheta = oint f(z1, w) dL(w) (dw_sil/dtheta . n_hat) dl_w
+
+    with f the BSDF at z1 (cosine included) and dl_w angular arc length.
+    Instead of the reference's seed-ray projection search (a per-lane
+    walk to the nearest silhouette, dr.switch over shapes), each lane
+    JOINTLY samples (pixel, edge point): the camera ray fixes z1, the
+    edge point fixes the direction — one fused wavefront program, the
+    same shape every iteration.  Limitations (documented): one indirect
+    bounce (z1 = first hit), and delta BSDFs at z1 evaluate to zero —
+    perfectly specular chains need the reference's attached reparam,
+    rough chains (the practical mirror: roughconductor) are covered.
+    """
+    from ..sensor.perspective import sample_ray
+    from .common import _integrator_sample
+    from .shading import shading_frame_with_bump
+    from ..accel.intersect import ray_intersect
+    from ..bsdf.dispatch import bsdf_eval_pdf
+    from ..core import math as m
+
+    w, h = scene.film_w, scene.film_h
+    Vd = jax.lax.stop_gradient(V)
+    F = scene.faces
+
+    # ---- prefix: one camera ray per lane -> z1 ----
+    smp = make_sampler(jnp.arange(n_samples, dtype=jnp.uint32), 0, seed,
+                       kind="independent")
+    u_pix, smp = smp.next_2d()
+    pos = u_pix * jnp.array([w, h], jnp.float32)
+    ray = sample_ray(scene, pos)
+    si = ray_intersect(scene, ray)
+    si = shading_frame_with_bump(scene, si, ray)
+    bsdf_idx = m.table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
+    prefix_ok = si.valid
+
+    # ---- edge point, uniform by length over ALL edges (the silhouette
+    # set depends on z1, so the test is per-lane below) ----
+    p0, p1 = Vd[edge_v[:, 0]], Vd[edge_v[:, 1]]
+    length = jnp.linalg.norm(p1 - p0, axis=-1)
+    total_len = jnp.sum(length)
+    cdf = jnp.cumsum(length)
+    u_pick, smp = smp.next_1d()
+    u_t, smp = smp.next_1d()
+    e_idx = jnp.clip(jnp.searchsorted(cdf, u_pick * total_len,
+                                      side="right"),
+                     0, edge_v.shape[0] - 1)
+    i0, i1 = edge_v[e_idx, 0], edge_v[e_idx, 1]
+    x = (1.0 - u_t[:, None]) * Vd[i0] + u_t[:, None] * Vd[i1]
+    len_e = length[e_idx]
+    own_shape = scene.tri_shape[jnp.maximum(edge_f[e_idx, 0], 0)]
+
+    # silhouette test w.r.t. the per-lane viewpoint z1
+    def face_front(fi):
+        f = F[jnp.maximum(fi, 0)]
+        a, b, c = Vd[f[:, 0]], Vd[f[:, 1]], Vd[f[:, 2]]
+        n = jnp.cross(b - a, c - a)
+        return jnp.sum(n * (x - si.p), -1) < 0.0
+
+    boundary = edge_f[e_idx, 1] < 0
+    sil = jnp.where(boundary, True,
+                    face_front(edge_f[e_idx, 0])
+                    != face_front(edge_f[e_idx, 1]))
+
+    to_x = x - si.p
+    r = jnp.linalg.norm(to_x, axis=-1)
+    wdir = to_x / jnp.maximum(r, 1e-9)[:, None]
+    valid = prefix_ok & sil & (r > 1e-4)
+
+    # visibility z1 -> x
+    sray = si.spawn_ray(wdir)
+    occ = ray_test(scene, Ray(o=sray.o, d=wdir,
+                              maxt=r * (1.0 - 1e-3)))
+    valid &= ~occ
+
+    # BSDF throughput at z1 toward the edge (delta lobes -> 0)
+    bval, _ = bsdf_eval_pdf(scene, si, bsdf_idx, si.to_local(wdir))
+
+    # angular velocity of the silhouette point along the edge
+    e_unit = (Vd[i1] - Vd[i0]) / jnp.maximum(len_e, 1e-9)[:, None]
+    dw = (e_unit - wdir * jnp.sum(wdir * e_unit, -1, keepdims=True)) \
+        / jnp.maximum(r, 1e-9)[:, None]
+    speed = jnp.linalg.norm(dw, axis=-1)          # rad per unit edge len
+    dw_unit = dw / jnp.maximum(speed, 1e-12)[:, None]
+    n3 = jnp.cross(wdir, dw_unit)                 # tangent-plane normal
+    valid &= speed > 1e-9
+
+    # ---- radiance difference across the edge, probed from z1 ----
+    def side_ray(sgn):
+        d = wdir + sgn * eps_ang * n3
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        sr = si.spawn_ray(d)
+        return Ray(o=sr.o, d=d, maxt=jnp.full((n_samples,), jnp.inf))
+
+    ray_p, ray_m = side_ray(+1.0), side_ray(-1.0)
+
+    def probe(rp):
+        t, prim, _, _, _sph = ray_intersect_preliminary(scene, rp)
+        shp = jnp.where(prim >= 0,
+                        scene.tri_shape[jnp.maximum(prim, 0)], -1)
+        near = jnp.abs(t - r) < 0.05 * r + 1e-3
+        return (shp == own_shape) & near
+
+    fg_p, fg_m = probe(ray_p), probe(ray_m)
+    valid &= fg_p ^ fg_m
+
+    smp2 = make_sampler(hash_u32(jnp.arange(n_samples, dtype=jnp.uint32),
+                                 jnp.uint32(0x51C3B7A9)),
+                        0, seed, kind="independent")
+    sc_sil = scene.replace(max_depth=min(scene.max_depth, sil_depth))
+    L_p, _, smp2 = _integrator_sample(sc_sil, smp2, ray_p, mode="primal")
+    L_m, _, smp2 = _integrator_sample(sc_sil, smp2, ray_m, mode="primal")
+    L_p = jnp.where(jnp.isfinite(L_p), L_p, 0.0)
+    L_m = jnp.where(jnp.isfinite(L_m), L_m, 0.0)
+    dL = jnp.where(fg_p[:, None], L_p - L_m, L_m - L_p)
+    n_bg = jnp.where(fg_p[:, None], -n3, n3)
+
+    # ---- assemble ----
+    # pixel pdf 1/(w*h) per px^2 -> inv w*h; edge-length pdf 1/total_len
+    # -> angular-domain inv = total_len * speed (cf. the primary case)
+    pix = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1) * w \
+        + jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
+    d_pix = delta.reshape(-1, 3)[pix]
+    coeff = jnp.sum(d_pix * bval * dL, -1) * total_len * speed \
+        * (w * h) / n_samples
+    coeff = jnp.where(jnp.isfinite(coeff), coeff, 0.0)
+    coeff = jax.lax.stop_gradient(jnp.where(valid, coeff, 0.0))
+    n_bg = jax.lax.stop_gradient(jnp.where(valid[:, None], n_bg, 0.0))
+    # invalid lanes carry non-finite si.p (missed prefix); zero them so
+    # 0-coefficient lanes cannot poison the sum with 0*nan
+    z1 = jax.lax.stop_gradient(
+        jnp.where(valid[:, None] & jnp.isfinite(si.p), si.p, 0.0))
+
+    def S(Vp):
+        xv = (1.0 - u_t[:, None]) * Vp[i0] + u_t[:, None] * Vp[i1]
+        tv = xv - z1
+        nrm = jnp.maximum(jnp.linalg.norm(tv, axis=-1, keepdims=True),
+                          1e-9)
+        return jnp.sum(coeff * jnp.sum(tv / nrm * n_bg, -1))
+
+    return jax.grad(S)(V)
+
+
+def indirect_boundary_gradient(scene: Scene, params, delta_image,
+                               seed: int = 0, n_samples: int = 1 << 16,
+                               sil_depth: int = 6):
+    """dLoss/d(vertices), one-indirect-bounce visibility boundary term
+    (occluders seen through a rough reflection/refraction at the first
+    hit).  Complements boundary_gradient's primarily-visible term; both
+    are added by render_grad when vertices are differentiated."""
+    if scene.n_tris == 0 or "vertices" not in params:
+        return jnp.zeros_like(scene.vertices)
+    sc = apply_params(scene, {k: jax.lax.stop_gradient(v)
+                              for k, v in params.items()})
+    ev, ef = edge_table(np.asarray(sc.faces), sc.n_tris)
+    return _indirect_boundary_grad_jit(sc, params["vertices"], ev, ef,
+                                       jnp.asarray(delta_image), seed,
+                                       n_samples, sil_depth)
+
+
 def boundary_gradient(scene: Scene, params, delta_image, seed: int = 0,
                       n_samples: int = 1 << 16, sil_depth: int = 6,
                       guiding: str = "edges", pilot_frac: float = 0.25):

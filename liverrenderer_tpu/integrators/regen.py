@@ -122,14 +122,28 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
     st, pos = _make_lanes(scene, jnp.arange(W, dtype=jnp.uint32), seed, spp,
                           pix0, tile_pix, samp0)
     sid = jnp.arange(W, dtype=jnp.uint32)
-    # path pool, PACKED 8 samples per row (row = sid>>3, columns
-    # [3*(sid&7), +3)): the XLA scatter kernel is ~3x cheaper into
-    # <= 2^18-row tables (measured v5e: 1.1-1.3 ms vs 3.0 ms per 64k-lane
-    # op, nearly width-independent), so wide-few-rows is the fast layout
-    # for the per-iteration store; the walk reads the reshaped flat view
-    n_rows = ((budget + _POOL_PACK - 1) // _POOL_PACK) if store_paths else 1
-    pool_L = jnp.zeros((n_rows, 3 * _POOL_PACK))
-    film = jnp.zeros((tile_pix, 4))
+    # path pool, PACKED several samples per row: the XLA scatter kernel is
+    # ~3x cheaper into <= 2^18-row tables (measured v5e: 1.1-1.3 ms vs
+    # 3.0 ms per 64k-lane op, nearly width-independent), so wide-few-rows
+    # is the fast layout for the per-iteration store; the walk reads the
+    # reshaped flat view.
+    #
+    # Box filter + small spp chunk additionally FUSE the film splat into
+    # the same scatter (one table: row = pixel = sid % tile_pix, columns
+    # [film RGBA | stratum-s L-block]) — one scatter-add per iteration
+    # instead of two (~1.1 ms/iteration on v5e).
+    spc = spp if spp_chunk is None else spp_chunk
+    fused = store_paths and scene.rfilter != FILTER_TENT and spc <= 16
+    if fused:
+        film_pool = jnp.zeros((tile_pix, 4 + 3 * spc))
+        pool_L = jnp.zeros((1, 1))
+        film = jnp.zeros((tile_pix, 4))
+    else:
+        n_rows = ((budget + _POOL_PACK - 1) // _POOL_PACK) \
+            if store_paths else 1
+        pool_L = jnp.zeros((n_rows, 3 * _POOL_PACK))
+        film_pool = jnp.zeros((1, 1))
+        film = jnp.zeros((tile_pix, 4))
     refills = (budget + W - 1) // W
     # per-lane iteration budget matches the fixed wavefront's loop cap
     # (volpath.sample max_iters) so both renderers compute the identical
@@ -138,11 +152,11 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
     max_iters = lane_cap * (refills + 2)
 
     def cond(c):
-        st, pos, sid, film, pool_L, age, next_s, it = c
+        st, pos, sid, film, pool_L, film_pool, age, next_s, it = c
         return jnp.any(st.active) & (it < max_iters)
 
     def body(c):
-        st, pos, sid, film, pool_L, age, next_s, it = c
+        st, pos, sid, film, pool_L, film_pool, age, next_s, it = c
         was_active = st.active
         st = vp.bounce(scene, st, False)
         age = age + 1
@@ -158,7 +172,22 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
         # normalization in develop keeps the estimator consistent).
         L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
-        if store_paths:
+        in_range = pos[:, 1] < h
+        p0i = jnp.asarray(pix0, jnp.int32)
+        if fused:
+            # one fused scatter-add: film RGBA into cols [0,4) of the
+            # lane's pixel row, radiance into the sample-stratum block
+            row = jnp.where(died, (sid % jnp.uint32(tile_pix))
+                            .astype(jnp.int32), tile_pix)
+            blk = (sid // jnp.uint32(tile_pix)).astype(jnp.int32)
+            onehot = blk[:, None] == jnp.arange(spc)[None, :]
+            pool_cols = (onehot[:, :, None] * L[:, None, :]).reshape(
+                W, 3 * spc)
+            film_cols = jnp.concatenate([L, jnp.ones((W, 1))], -1) \
+                * in_range[:, None]
+            film_pool = film_pool.at[row].add(
+                jnp.concatenate([film_cols, pool_cols], -1), mode="drop")
+        elif store_paths:
             row = jnp.where(died, sid // _POOL_PACK, jnp.uint32(n_rows))
             blk = (sid % _POOL_PACK).astype(jnp.int32)
             onehot = blk[:, None] == jnp.arange(_POOL_PACK)[None, :]
@@ -166,9 +195,9 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
                 W, 3 * _POOL_PACK)
             # each sample dies exactly once -> add == set on zeros
             pool_L = pool_L.at[row].add(vals, mode="drop")
-        in_range = pos[:, 1] < h
-        p0i = jnp.asarray(pix0, jnp.int32)
-        if scene.rfilter == FILTER_TENT:
+        if fused:
+            pass                         # film handled by the fused write
+        elif scene.rfilter == FILTER_TENT:
             ix0 = jnp.floor(pos[:, 0] - 0.5).astype(jnp.int32)
             iy0 = jnp.floor(pos[:, 1] - 0.5).astype(jnp.int32)
             idxs, datas = [], []
@@ -212,12 +241,18 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
         age = jnp.where(take, 0, age)
         next_s = jnp.minimum(next_s + jnp.sum(died.astype(jnp.uint32)),
                              jnp.uint32(budget))
-        return st, pos, sid, film, pool_L, age, next_s, it + 1
+        return st, pos, sid, film, pool_L, film_pool, age, next_s, it + 1
 
-    init = (st, pos, sid, film, pool_L, jnp.zeros((W,), jnp.int32),
-            jnp.uint32(W), jnp.int32(0))
-    st, pos, sid, film, pool_L, age, next_s, it = jax.lax.while_loop(
-        cond, body, init)
+    init = (st, pos, sid, film, pool_L, film_pool,
+            jnp.zeros((W,), jnp.int32), jnp.uint32(W), jnp.int32(0))
+    st, pos, sid, film, pool_L, film_pool, age, next_s, it = \
+        jax.lax.while_loop(cond, body, init)
+    if fused:
+        # flat (budget, 3) view: sample sid = s*tile_pix + p lives at
+        # film_pool[p, 4+3s : 4+3s+3]
+        pool_flat = film_pool[:, 4:].reshape(tile_pix, spc, 3) \
+            .transpose(1, 0, 2).reshape(-1, 3)[:budget]
+        return film_pool[:, :4], pool_flat
     if store_paths:
         # flat (budget, 3) view: row r cols [3c,3c+3) == sample r*PACK+c
         return film, pool_L.reshape(-1, 3)[:budget]

@@ -201,6 +201,50 @@ def measure_scaling(scene: Scene, n_devices: int | None = None,
                 round(eff, 4)}
 
 
+_DTYPE_BYTES = {"f32": 4, "f64": 8, "f16": 2, "bf16": 2, "s32": 4,
+                "u32": 4, "s64": 8, "u64": 8, "pred": 1, "s8": 1, "u8": 1}
+
+
+def collective_stats(jitted_fn, *args) -> dict:
+    """Per-step collective accounting from the COMPILED program: lower
+    the jitted function, parse its optimized HLO, and total the bytes
+    moved by each collective kind (all-reduce / all-gather /
+    reduce-scatter / collective-permute / all-to-all).
+
+    This is the evidence BASELINE.md's >=80%-at->=2-hosts target rests
+    on: the forward film psum + the adjoint's gradient psum should be the
+    ONLY collectives, and their volume per step is what must ride
+    ICI/DCN."""
+    import re
+
+    txt = jitted_fn.lower(*args).compile().as_text()
+    out: dict = {}
+    kinds = ("all-reduce", "all-gather", "reduce-scatter",
+             "collective-permute", "all-to-all")
+    shape_pat = re.compile(r"(\w+)\[([\d,]*)\](?:\{[\d,]*\})?")
+    for line in txt.splitlines():
+        if "=" not in line:
+            continue
+        rhs = line.split("=", 1)[1]
+        kind = next((k for k in kinds
+                     if re.search(rf"\b{k}(?:-start)?\(", rhs)), None)
+        if kind is None:
+            continue
+        # result shapes sit between '=' and the op name
+        head = rhs.split(kind)[0]
+        nbytes = 0
+        for dt, dims in shape_pat.findall(head):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES.get(dt, 4)
+        e = out.setdefault(kind, {"ops": 0, "bytes": 0})
+        e["ops"] += 1
+        e["bytes"] += nbytes
+    return out
+
+
 def make_train_step(scene: Scene, mesh: Mesh, loss_fn, optimizer,
                     spp: int, mode: str = "ad"):
     """Build a jitted distributed inverse-rendering step:

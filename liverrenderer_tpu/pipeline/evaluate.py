@@ -32,10 +32,14 @@ CONFIGS = {
                         "Liver-MultiMesh/mitsuba3/scene.exr",
                         "Liver-MultiMesh/mitsuba3/LiverMask-MultiMesh.exr",
                         {}),
+    # denoise_probe: additionally render at that (low) spp, denoise with
+    # the SVGF-style a-trous filter (denoise.py), and report noisy vs
+    # denoised metrics against the golden — the OptixRSME.png analog
+    # (reference results/OptixRSME.png, optixdenoiser.cpp).
     "Liver-SingleMesh": (
         "Liver-SingleMesh/mitsuba3/scene.xml",
         "Liver-SingleMesh/mitsuba3/outputs/Mitsuba3/CPU/liver-singlemesh.png",
-        None, {}),
+        None, {"denoise_probe": 16}),
     "GlissonCapsule": (
         "GlissonCapsule/mitsuba3/scene.xml",
         "GlissonCapsule/mitsuba3/outputs/Mitsuba3/CPU/glissoncapsule.png",
@@ -177,6 +181,21 @@ def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
                                           for x in a[inter].mean(0)]
                 entry["obj_mean_ref"] = [round(float(x), 5)
                                          for x in b[inter].mean(0)]
+        if opts.get("denoise_probe"):
+            from ..denoise import denoise_render
+            spp_lo = int(opts["denoise_probe"])
+            img_lo = np.asarray(lr.render(scene, spp=spp_lo, seed=1))
+            img_dn = denoise_render(scene, spp=spp_lo, seed=1)
+            if is_ldr:
+                from ..tonemap import tonemap
+                img_lo, img_dn = tonemap(img_lo), tonemap(img_dn)
+            lo = np.clip(np.asarray(img_lo), 0, 1)
+            dn = np.clip(np.asarray(img_dn), 0, 1)
+            entry["denoise"] = {
+                "spp": spp_lo,
+                "noisy_rmse": rmse(lo, b), "noisy_ssim": ssim(lo, b),
+                "denoised_rmse": rmse(dn, b), "denoised_ssim": ssim(dn, b),
+            }
         table[name] = entry
         # write_image expects LINEAR data for PNGs (applies sRGB itself)
         if is_ldr:

@@ -99,6 +99,92 @@ def test_occluder_translation_gradient_vs_fd():
     np.testing.assert_allclose(g_x, fd, rtol=0.2)
 
 
+def _mirror_scene(res=24, alpha=0.1):
+    """Occluder visible ONLY via a rough-mirror reflection: camera looks
+    at a roughconductor plate; a dark quad floats BEHIND the camera,
+    blocking part of the bright constant environment in the reflection.
+    The reference's indirect-projective configuration
+    (prb_projective.py:8, ad/projective.py:614-833)."""
+    return load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 4},
+        "sensor": {
+            "type": "perspective", "fov": 45.0,
+            "to_world": lr.Transform().look_at([0, 0, 2.0], [0, 0, -1.0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": res, "height": res,
+                     "rfilter": {"type": "box"}},
+        },
+        "mirror": {"type": "rectangle",
+                   "to_world": lr.Transform().translate([0, 0, -1.0])
+                   .scale(3.0),
+                   "bsdf": {"type": "roughconductor", "material": "Al",
+                            "alpha": alpha}},
+        "occ": {"type": "rectangle",
+                "to_world": lr.Transform().translate([0, 0, 2.5])
+                .scale(0.5),
+                "bsdf": {"type": "diffuse",
+                         "reflectance": {"type": "rgb",
+                                         "value": [0.02] * 3}}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [2.0] * 3}},
+    })
+
+
+def test_indirect_occluder_translation_gradient_vs_fd():
+    """Growing the behind-the-camera occluder's right edge covers more of
+    the bright environment in the rough-mirror reflection; interior terms
+    are negligible (the occluder is nearly black and never directly
+    visible), so the mean-image derivative is ~purely the INDIRECT
+    boundary term.  AD (render_grad's indirect_boundary_gradient) must
+    match correlated FD.  (A rigid translation is a useless probe here:
+    it slides the reflected silhouette without changing its area, so the
+    mean image is invariant.)"""
+    scene = _mirror_scene()
+    V = np.asarray(scene.vertices)
+    # the occluder quad's x = +0.5 edge (2 vertices) moves outward
+    occ = (np.abs(V[:, 2] - 2.5) < 1e-4) & (V[:, 0] > 0.4)
+    assert occ.sum() == 2
+    mask = np.zeros_like(V)
+    mask[occ, 0] = 1.0
+    mask = jnp.asarray(mask)
+
+    loss_fn = lambda img: jnp.mean(img)
+    params = {"vertices": scene.vertices}
+    loss, grads, img = lr.render_grad(scene, params, loss_fn, spp=64,
+                                      seed=5)
+    g = grads["vertices"]
+    assert bool(jnp.all(jnp.isfinite(g)))
+    g_x = float(jnp.sum(g * mask))
+
+    eps = 0.08
+    def loss_at(d):
+        sc = lr.apply_params(scene,
+                             {"vertices": scene.vertices + d * mask})
+        return float(jnp.mean(lr.render(sc, spp=512, seed=11)))
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    assert abs(fd) > 1e-3            # the silhouette does move the loss
+    np.testing.assert_allclose(g_x, fd, rtol=0.35)
+
+
+def test_indirect_boundary_zero_when_directly_visible_only():
+    """In the primary-occluder scene (no specular chain), the indirect
+    term must be near zero — the boundary is fully accounted for by the
+    primary film-space term, and double counting would break the
+    FD match of test_occluder_translation_gradient_vs_fd."""
+    from liverrenderer_tpu.integrators.projective import \
+        indirect_boundary_gradient
+    scene = _occluder_scene(res=16)
+    delta = jnp.ones((16, 16, 3)) / (16 * 16 * 3)
+    g = indirect_boundary_gradient(scene, {"vertices": scene.vertices},
+                                   delta, seed=3, n_samples=1 << 12)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # scale: compare against the PRIMARY term's magnitude in this scene
+    gp = boundary_gradient(scene, {"vertices": scene.vertices}, delta,
+                           seed=3, n_samples=1 << 12)
+    assert float(jnp.linalg.norm(g)) < 0.05 * float(jnp.linalg.norm(gp))
+
+
 def test_boundary_gradient_zero_without_silhouette_in_view():
     """A scene whose only mesh fills the whole view has no visible
     silhouette: the boundary term must be (near) zero, not noise."""
