@@ -103,9 +103,9 @@ def render(scene: Scene, spp: int | None = None, seed: int = 0,
            mode: str = "primal"):
     """Render the scene to an (h, w, 3) linear-RGB image (mi.render analog)."""
     spp = spp or scene.spp
-    from .regen import regen_applicable, render_regen
+    from .regen import regen_applicable, render_regen_host
     if regen_applicable(scene, mode):
-        return film_mod.develop(render_regen(scene, seed, spp))
+        return film_mod.develop(render_regen_host(scene, seed, spp))
     n_pix = scene.film_w * scene.film_h
     spp_pass = max(1, min(spp, MAX_WAVEFRONT // max(n_pix, 1)))
     while spp % spp_pass != 0:

@@ -309,16 +309,22 @@ def _grad_replay_jit(scene: Scene, params, seed, spp: int, loss_fn):
 # render for the loss image, then independent (tile, spp-chunk) replays
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("spp", "loss_fn"))
-def _tiled_loss_jit(scene: Scene, params, seed, spp: int, loss_fn):
-    """Primal image (tiled regen), loss, and d loss / d accumulated-rgb."""
-    sc = apply_params(scene, _detach(params))
-    acc = render_regen(sc, seed, spp)                        # (h, w, 4)
+@partial(jax.jit, static_argnames=("loss_fn",))
+def _loss_from_acc_jit(acc, loss_fn):
+    """loss + d loss / d accumulated-rgb from a developed accumulator."""
     image = film_mod.develop(acc)
     loss, dL_dI = jax.value_and_grad(loss_fn)(image)
     wch = acc[..., 3:4]
     g_rgb = jnp.where(wch > 0, dL_dI / jnp.maximum(wch, 1e-12), 0.0)
     return loss, image, g_rgb.reshape(-1, 3)
+
+
+def _tiled_loss(scene: Scene, params, seed, spp: int, loss_fn):
+    """Primal image (host-scheduled tiled regen — one watchdog-safe device
+    execution per partition), loss, and d loss / d accumulated-rgb."""
+    sc = apply_params(scene, _detach(params))
+    acc = regen_mod.render_regen_host(sc, seed, spp)         # (h, w, 4)
+    return _loss_from_acc_jit(acc, loss_fn)
 
 
 @partial(jax.jit, static_argnames=("spp_total", "spp_chunk", "tile_pix"))
@@ -347,7 +353,7 @@ def _grad_replay_tiled(scene: Scene, params, loss_fn, spp: int, seed):
     n_tiles = (n_pix + tile_pix - 1) // tile_pix
     n_chunks = spp // spp_chunk
 
-    loss, image, g_rgb = _tiled_loss_jit(scene, params, seed, spp, loss_fn)
+    loss, image, g_rgb = _tiled_loss(scene, params, seed, spp, loss_fn)
     grads = jax.tree_util.tree_map(jnp.zeros_like, params)
     for t in range(n_tiles):
         for c in range(n_chunks):

@@ -92,6 +92,12 @@ def _select_state(mask, new, old):
 # (measured: 1080p film doubled per-iteration cost)
 TILE_PIX = 1 << 18
 
+# paths per DEVICE EXECUTION for the host-driven schedule: the TPU runtime
+# watchdog kills workers whose single execution runs multi-minutes (a
+# 1080p@256spp render in one jit = ~140 s = dead worker).  ~64M paths is
+# ~17 s on v5e — safely under the watchdog with headroom for slow scenes.
+EXEC_PATH_BUDGET = 1 << 26
+
 # path-pool packing factor (see _render_regen_tile store_paths)
 _POOL_PACK = 8
 
@@ -281,6 +287,44 @@ def render_regen(scene: Scene, seed, spp: int):
     film = jax.lax.fori_loop(
         0, n_tiles, tile_body, jnp.zeros((n_tiles * TILE_PIX, 4)))
     return film[:n_pix].reshape(h, w, 4)
+
+
+@partial(jax.jit, static_argnames=("spp", "tile_pix", "spp_chunk"))
+def _host_tile_jit(scene: Scene, seed, pix0, samp0, spp: int,
+                   tile_pix: int, spp_chunk: int):
+    """One (pixel-tile, spp-chunk) device execution for the host driver.
+    pix0/samp0 are traced so every partition reuses one compiled program."""
+    return _render_regen_tile(scene, seed, spp, pix0, tile_pix,
+                              samp0=samp0, spp_chunk=spp_chunk)
+
+
+def render_regen_host(scene: Scene, seed, spp: int):
+    """Host-driven regen render: identical accumulator to `render_regen`
+    (same counter RNG per sample id) but partitioned into (tile, spp-chunk)
+    device executions each under EXEC_PATH_BUDGET paths, so no single
+    execution can trip the TPU watchdog.  Small jobs = one execution."""
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    tile_pix = min(TILE_PIX, n_pix)
+    spp_chunk = max(1, min(spp, EXEC_PATH_BUDGET // tile_pix))
+    while spp % spp_chunk != 0:
+        spp_chunk -= 1
+    n_tiles = (n_pix + tile_pix - 1) // tile_pix
+    n_chunks = spp // spp_chunk
+    if n_tiles == 1 and n_chunks == 1:
+        return render_regen(scene, seed, spp)
+    import numpy as np
+    film = np.zeros((n_tiles * tile_pix, 4), np.float32)
+    for t in range(n_tiles):
+        acc = None
+        for c in range(n_chunks):
+            tile = _host_tile_jit(scene, jnp.asarray(seed, jnp.uint32),
+                                  jnp.uint32(t * tile_pix),
+                                  jnp.uint32(c * spp_chunk),
+                                  spp, tile_pix, spp_chunk)
+            acc = tile if acc is None else acc + tile
+        film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+    return jnp.asarray(film[:n_pix].reshape(h, w, 4))
 
 
 def regen_applicable(scene: Scene, mode: str) -> bool:

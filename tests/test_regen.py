@@ -93,3 +93,31 @@ def test_tent_filter_regen_matches_fixed():
     img_r = np.asarray(film_mod.develop(acc_r))
     img_f = np.asarray(_render_jit(scene, 0, 4, 4, "primal"))  # developed
     np.testing.assert_allclose(img_r, img_f, rtol=2e-4, atol=2e-5)
+
+
+def test_host_schedule_matches_device(monkeypatch):
+    """The host-driven (tile, spp-chunk) scheduler (watchdog-safe path for
+    big films / budgets) reproduces the one-shot device render exactly —
+    same counter RNG per sample id regardless of partitioning."""
+    import numpy as np
+
+    import liverrenderer_tpu as lr
+    from liverrenderer_tpu.integrators import regen
+
+    d = lr.cornell_box()
+    d["integrator"] = {"type": "volpath", "max_depth": 3}
+    d["sensor"]["film"] = {"type": "hdrfilm", "width": 16, "height": 16,
+                           "rfilter": {"type": "box"}}
+    scene = lr.load_dict(d)
+
+    ref = np.asarray(regen.render_regen(scene, 0, 8))
+    # force 4 pixel tiles x 2 spp chunks
+    monkeypatch.setattr(regen, "TILE_PIX", 64)
+    monkeypatch.setattr(regen, "EXEC_PATH_BUDGET", 64 * 4)
+    got = np.asarray(regen.render_regen_host(scene, 0, 8))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    # single-partition short-circuit returns the device render unchanged
+    monkeypatch.undo()
+    got1 = np.asarray(regen.render_regen_host(scene, 0, 8))
+    np.testing.assert_allclose(got1, ref, rtol=1e-6, atol=0)
