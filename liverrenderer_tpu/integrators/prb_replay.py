@@ -328,11 +328,31 @@ def _tiled_loss(scene: Scene, params, seed, spp: int, loss_fn):
 
 
 @partial(jax.jit, static_argnames=("spp_total", "spp_chunk", "tile_pix"))
+def _tile_fwd_jit(scene_det: Scene, seed, pix0, samp0,
+                  spp_total: int, spp_chunk: int, tile_pix: int):
+    """One (pixel-tile, spp-chunk) stored forward: the tile's film
+    accumulator (feeds the loss image) + its path-radiance pool (feeds the
+    walk).  pix0/samp0 are traced so every partition reuses one program."""
+    return _render_regen_tile(scene_det, seed, spp_total, pix0, tile_pix,
+                              store_paths=True, samp0=samp0,
+                              spp_chunk=spp_chunk)
+
+
+@partial(jax.jit, static_argnames=("spp_total", "spp_chunk", "tile_pix"))
+def _tile_walk_jit(scene: Scene, params, seed, g_rgb, pool_L, pix0, samp0,
+                   spp_total: int, spp_chunk: int, tile_pix: int):
+    """One (pixel-tile, spp-chunk) backward walk over a stored pool."""
+    aux = _aux_pool(scene, g_rgb, pool_L, seed, spp_total, pix0, tile_pix,
+                    samp0, tile_pix * spp_chunk)
+    return _replay_walk(scene, params, seed, spp_total, aux,
+                        pix0, tile_pix, samp0, spp_chunk)
+
+
+@partial(jax.jit, static_argnames=("spp_total", "spp_chunk", "tile_pix"))
 def _tile_grad_jit(scene: Scene, params, seed, g_rgb, pix0, samp0,
                    spp_total: int, spp_chunk: int, tile_pix: int):
-    """One (pixel-tile, spp-chunk) replay: re-forward with path storage,
-    then the backward walk.  pix0/samp0 are traced so every tile reuses
-    one compiled program."""
+    """Re-forward + walk in one program — the low-memory schedule for
+    budgets whose pools don't all fit on device at once."""
     sc_det = _detach(apply_params(scene, _detach(params)))
     _, pool_L = _render_regen_tile(sc_det, seed, spp_total, pix0, tile_pix,
                                    store_paths=True, samp0=samp0,
@@ -341,6 +361,13 @@ def _tile_grad_jit(scene: Scene, params, seed, g_rgb, pix0, samp0,
                     samp0, tile_pix * spp_chunk)
     return _replay_walk(scene, params, seed, spp_total, aux,
                         pix0, tile_pix, samp0, spp_chunk)
+
+
+# total bytes of retained path pools for the keep-pools tiled schedule
+# (1 stored forward + 1 walk, no separate primal).  Past this, fall back
+# to primal + per-partition re-forward (2 forwards + 1 walk) — v5e HBM is
+# 16 GB and the wavefront working set needs its share.
+POOL_BYTES_CAP = 2 << 30
 
 
 def _grad_replay_tiled(scene: Scene, params, loss_fn, spp: int, seed):
@@ -352,16 +379,42 @@ def _grad_replay_tiled(scene: Scene, params, loss_fn, spp: int, seed):
         spp_chunk -= 1
     n_tiles = (n_pix + tile_pix - 1) // tile_pix
     n_chunks = spp // spp_chunk
+    parts = [(t, c) for t in range(n_tiles) for c in range(n_chunks)]
 
-    loss, image, g_rgb = _tiled_loss(scene, params, seed, spp, loss_fn)
-    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-    for t in range(n_tiles):
-        for c in range(n_chunks):
-            g = _tile_grad_jit(scene, params, seed, g_rgb,
+    keep_pools = n_tiles * tile_pix * spp * 12 <= POOL_BYTES_CAP
+    if keep_pools:
+        # ---- pooled schedule: the stored forwards ARE the loss primal ----
+        sc_det = _detach(apply_params(scene, _detach(params)))
+        acc = np.zeros((n_tiles * tile_pix, 4), np.float32)
+        pools = {}
+        for t, c in parts:
+            film, pool_L = _tile_fwd_jit(sc_det, seed,
+                                         jnp.uint32(t * tile_pix),
+                                         jnp.uint32(c * spp_chunk),
+                                         spp, spp_chunk, tile_pix)
+            acc[t * tile_pix:(t + 1) * tile_pix] += np.asarray(film)
+            pools[(t, c)] = pool_L
+        loss, image, g_rgb = _loss_from_acc_jit(
+            jnp.asarray(acc[:n_pix].reshape(h, w, 4)), loss_fn)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for t, c in parts:
+            g = _tile_walk_jit(scene, params, seed, g_rgb,
+                               pools.pop((t, c)),
                                jnp.uint32(t * tile_pix),
                                jnp.uint32(c * spp_chunk),
                                spp, spp_chunk, tile_pix)
             grads = jax.tree_util.tree_map(jnp.add, grads, g)
+        return loss, grads, image
+
+    # ---- low-memory schedule: primal once, re-forward per partition ----
+    loss, image, g_rgb = _tiled_loss(scene, params, seed, spp, loss_fn)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for t, c in parts:
+        g = _tile_grad_jit(scene, params, seed, g_rgb,
+                           jnp.uint32(t * tile_pix),
+                           jnp.uint32(c * spp_chunk),
+                           spp, spp_chunk, tile_pix)
+        grads = jax.tree_util.tree_map(jnp.add, grads, g)
     return loss, grads, image
 
 

@@ -130,6 +130,16 @@ def test_replay_tiled_schedule_matches_single_walk(monkeypatch):
                                np.asarray(g_one["media.params"]),
                                rtol=2e-3, atol=1e-7)
 
+    # low-memory schedule (primal + re-forward per partition) agrees too
+    monkeypatch.setattr(prb_replay, "POOL_BYTES_CAP", 0)
+    _, g_lm, img_lm = lr.render_grad(scene, params, _loss, spp=16, seed=3,
+                                     replay=True)
+    np.testing.assert_allclose(np.asarray(img_lm), np.asarray(img_one),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_lm["media.params"]),
+                               np.asarray(g_one["media.params"]),
+                               rtol=2e-3, atol=1e-7)
+
 
 def test_replay_env_radiance_gradient():
     """Env radiance is linear in the image: d mean(I) / d radiance through
