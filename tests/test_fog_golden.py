@@ -3,11 +3,16 @@
 homogeneous fog, isotropic phase, attached as the *sensor* medium so the
 camera starts inside the fog).
 
-The shipped golden PNG predates the runner's current fog parameters (its
-brightness matches neither scale=1 nor scale=2.5), so the quantitative
-check is analytic — Beer-Lambert direct transmission of the lamp through a
-purely absorbing fog — and the golden comparison is structural
-(correlation of downsampled block means).
+The shipped golden PNG provably mismatches the runner's fog parameters:
+a (scale x albedo) forensic sweep (round 3, scale 0..2.5, albedo
+0.75..0.95 at 192 spp) brackets the golden's brightness at scale ~1.0-1.25
+— NOT the runner's 2.5 — and no gray-fog parameterization reproduces its
+channel balance (golden R:G:B = 2.3:1.7:1 vs 3.0:1.9:1 for every sweep
+point; structural correlation plateaus at ~0.92).  The golden is from an
+earlier revision with different (unrecoverable) parameters, so the
+quantitative check is analytic — Beer-Lambert direct transmission of the
+lamp through a purely absorbing fog — and the golden comparison is
+structural (correlation of downsampled block means).
 """
 import os
 

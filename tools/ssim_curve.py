@@ -67,6 +67,8 @@ def run_scene(name, ds, chunk, n_chunks, variant=None):
         print(f"  {name}: spp={pt['spp']} rmse={pt['rmse']} "
               f"ssim={pt['ssim']} ({time.time() - t_start:.0f}s)",
               flush=True)
+    np.save(f"results/curve_{name.lower()}_mean.npy",
+            (acc / n_chunks).astype(np.float32))
     return {"config": f"{w}x{h} ds{ds} chunk {chunk}spp"
                       + (f" variant={variant}" if variant else ""),
             "curve": curve, "wall_s": round(time.time() - t_start, 1)}
