@@ -115,50 +115,49 @@ def _load_obj(path: str) -> geo.MeshData:
 def _load_serialized(path: str, shape_index: int = 0) -> geo.MeshData:
     """Mitsuba `.serialized` mesh container (src/shapes/serialized.cpp):
     0x041C magic + version, zlib-deflated mesh streams, and an end-of-file
-    dictionary of per-mesh offsets."""
-    import zlib
+    dictionary of per-mesh offsets.  Reads through the stream layer — the
+    container is memory-mapped (io/stream.MemoryMappedFile) and the
+    selected mesh inflates lazily through a ZStream, so only the requested
+    shape's bytes are ever decompressed."""
+    from ..io.stream import MemoryMappedFile, ZStream
 
-    with open(path, "rb") as f:
-        data = f.read()
-    magic, version = np.frombuffer(data, "<u2", 2, 0)
-    assert magic == 0x041C, f"not a serialized mesh: {path}"
-    count = int(np.frombuffer(data, "<u4", 1, len(data) - 4)[0])
-    if version >= 4:
-        offs = np.frombuffer(data, "<u8", count, len(data) - 4 - 8 * count)
-    else:
-        offs = np.frombuffer(data, "<u4", count,
-                             len(data) - 4 - 4 * count).astype(np.uint64)
-    assert 0 <= shape_index < count, (shape_index, count)
-    start = int(offs[shape_index]) + 4          # skip per-mesh magic+version
-    end = int(offs[shape_index + 1]) if shape_index + 1 < count \
-        else len(data) - 4 - (8 if version >= 4 else 4) * count
-    raw = zlib.decompress(data[start:end])
+    with MemoryMappedFile(path) as mf:
+        data = mf.data()
+        n_total = mf.size()
+        magic, version = np.frombuffer(data, "<u2", 2, 0)
+        assert magic == 0x041C, f"not a serialized mesh: {path}"
+        count = int(np.frombuffer(data, "<u4", 1, n_total - 4)[0])
+        if version >= 4:
+            offs = np.frombuffer(data, "<u8", count,
+                                 n_total - 4 - 8 * count)
+        else:
+            offs = np.frombuffer(data, "<u4", count,
+                                 n_total - 4 - 4 * count).astype(np.uint64)
+        assert 0 <= shape_index < count, (shape_index, count)
+        mf.seek(int(offs[shape_index]) + 4)     # skip per-mesh magic+version
+        zs = ZStream(mf, "r")
 
-    pos = 0
-
-    def take(dt, n):
-        nonlocal pos
-        a = np.frombuffer(raw, dt, n, pos)
-        pos += np.dtype(dt).itemsize * n
-        return a
-
-    flags = int(take("<u4", 1)[0])
-    if version >= 4:                            # null-terminated name
-        pos = raw.index(b"\0", pos) + 1
-    n_v = int(take("<u8", 1)[0])
-    n_t = int(take("<u8", 1)[0])
-    fdt = "<f8" if flags & 0x2000 else "<f4"
-    verts = take(fdt, n_v * 3).reshape(n_v, 3).astype(np.float32)
-    normals = None
-    uvs = None
-    if flags & 0x0001:
-        normals = take(fdt, n_v * 3).reshape(n_v, 3).astype(np.float32)
-    if flags & 0x0002:
-        uvs = take(fdt, n_v * 2).reshape(n_v, 2).astype(np.float32)
-    if flags & 0x0008:                          # vertex colors (skipped)
-        take(fdt, n_v * 3)
-    idt = "<u8" if n_v > 0xFFFFFFFF else "<u4"
-    faces = take(idt, n_t * 3).reshape(n_t, 3).astype(np.int32)
+        flags = int(zs.read_value("u4"))
+        if version >= 4:                        # null-terminated name
+            zs.read_string()
+        n_v = int(zs.read_value("u8"))
+        n_t = int(zs.read_value("u8"))
+        fdt = "f8" if flags & 0x2000 else "f4"
+        verts = zs.read_array(fdt, n_v * 3).reshape(n_v, 3) \
+            .astype(np.float32)
+        normals = None
+        uvs = None
+        if flags & 0x0001:
+            normals = zs.read_array(fdt, n_v * 3).reshape(n_v, 3) \
+                .astype(np.float32)
+        if flags & 0x0002:
+            uvs = zs.read_array(fdt, n_v * 2).reshape(n_v, 2) \
+                .astype(np.float32)
+        if flags & 0x0008:                      # vertex colors (skipped)
+            zs.read_array(fdt, n_v * 3)
+        idt = "u8" if n_v > 0xFFFFFFFF else "u4"
+        faces = zs.read_array(idt, n_t * 3).reshape(n_t, 3) \
+            .astype(np.int32)
     if flags & 0x0010:                          # face normals requested
         normals = None
     return geo.MeshData(verts, faces, normals, uvs)
