@@ -110,7 +110,7 @@ def _load_scene(path: str, opts: dict, w: int, h: int, spp: int):
 
 
 def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
-             downsample=4, spp=64):
+             downsample=4, spp=64, scenes=None, merge=False):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/lr_tpu_jax_cache")
     import liverrenderer_tpu as lr
@@ -119,11 +119,32 @@ def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
 
     os.makedirs(out_dir, exist_ok=True)
     table = {}
+    rpath = os.path.join(out_dir, "results.json")
+    if merge and os.path.exists(rpath):
+        with open(rpath) as f:
+            table = json.load(f)
     for name, (xml, golden, mask, opts) in CONFIGS.items():
+        if scenes and name not in scenes:
+            continue
+        try:
+            _eval_one(scenes_dir, out_dir, downsample, spp, table, name,
+                      xml, golden, mask, opts, lr, log, rmse, ssim)
+        except Exception as e:             # noqa: BLE001 — a TPU worker
+            # fault on one scene must not abort the batch
+            log(f"{name}: FAILED ({type(e).__name__}: {e})")
+            table[name] = {"error": f"{type(e).__name__}: {e}"}
+        with open(rpath, "w") as f:
+            json.dump(table, f, indent=2)
+    return table
+
+
+def _eval_one(scenes_dir, out_dir, downsample, spp, table, name, xml,
+              golden, mask, opts, lr, log, rmse, ssim):
+    if True:
         gpath = os.path.join(scenes_dir, golden)
         if not os.path.exists(gpath):
             log(f"{name}: golden missing, skipped")
-            continue
+            return
         is_ldr = gpath.lower().endswith(".png")
         # PNG goldens stay display-encoded; ours gets the same transfer
         g = lr.read_image(gpath, srgb_to_linear=False)[..., :3]
@@ -217,10 +238,6 @@ def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
         log(f"{name}: rmse {entry['rmse']:.4f} ssim {entry['ssim']:.4f} "
             f"({dt:.1f}s)")
 
-    with open(os.path.join(out_dir, "results.json"), "w") as f:
-        json.dump(table, f, indent=2)
-    return table
-
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -228,9 +245,15 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--downsample", type=int, default=4)
     ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--scenes", default=None,
+                    help="comma-separated subset of CONFIGS keys")
+    ap.add_argument("--merge", action="store_true",
+                    help="update rows in the existing results.json")
     a = ap.parse_args(argv)
+    scenes = a.scenes.split(",") if a.scenes else None
     print(json.dumps(evaluate(a.scenes_dir, a.out_dir, a.downsample,
-                              a.spp), indent=2))
+                              a.spp, scenes=scenes, merge=a.merge),
+                     indent=2))
 
 
 if __name__ == "__main__":
