@@ -121,3 +121,19 @@ def test_host_schedule_matches_device(monkeypatch):
     monkeypatch.undo()
     got1 = np.asarray(regen.render_regen_host(scene, 0, 8))
     np.testing.assert_allclose(got1, ref, rtol=1e-6, atol=0)
+
+    # tent filter: the host partition drops the same out-of-tile taps as
+    # the device tiling, so equality holds there too
+    d2 = lr.cornell_box()
+    d2["integrator"] = {"type": "volpath", "max_depth": 3}
+    d2["sensor"]["film"] = {"type": "hdrfilm", "width": 16, "height": 16,
+                            "rfilter": {"type": "tent"}}
+    sc2 = lr.load_dict(d2)
+    monkeypatch.setattr(regen, "TILE_PIX", 64)
+    regen.render_regen._clear_cache()
+    ref2 = np.asarray(regen.render_regen(sc2, 0, 8))
+    monkeypatch.setattr(regen, "EXEC_PATH_BUDGET", 64 * 4)
+    got2 = np.asarray(regen.render_regen_host(sc2, 0, 8))
+    np.testing.assert_allclose(got2, ref2, rtol=1e-5, atol=1e-6)
+    monkeypatch.undo()
+    regen.render_regen._clear_cache()
