@@ -67,8 +67,10 @@ if mode.startswith("slce"):
     scene = load_dict(d, base_dir=os.path.dirname(xml))
 else:
     scene = lr.load_dict(d)
+import os
+SPP = int(os.environ.get("PROBE_SPP", "16"))
 t0 = time.time()
-img = np.asarray(lr.render(scene, spp=16, seed=0))
+img = np.asarray(lr.render(scene, spp=SPP, seed=0))
 print(f"{mode}: ok {time.time()-t0:.1f}s mean {img.mean():.4f} finite {np.isfinite(img).all()}", flush=True)
 
 # scene-based modes appended by the round-3 crash bisection
