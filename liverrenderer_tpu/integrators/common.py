@@ -107,7 +107,11 @@ def render(scene: Scene, spp: int | None = None, seed: int = 0,
     if regen_applicable(scene, mode):
         return film_mod.develop(render_regen_host(scene, seed, spp))
     n_pix = scene.film_w * scene.film_h
-    spp_pass = max(1, min(spp, MAX_WAVEFRONT // max(n_pix, 1)))
+    # VAE-SSS events carry heavy per-lane state (20 poly coeffs, frame
+    # matrices, NN activations) whose trailing-dim tiling padding scales
+    # with the wavefront — cap those passes well below MAX_WAVEFRONT
+    max_wf = (1 << 17) if scene.ssub.enabled else MAX_WAVEFRONT
+    spp_pass = max(1, min(spp, max_wf // max(n_pix, 1)))
     while spp % spp_pass != 0:
         spp_pass -= 1
     return _render_jit(scene, seed, spp, spp_pass, mode)

@@ -7,7 +7,7 @@ Replaces the reference's Eigen machinery (polynomials.h):
   * weighted least-squares fit with hard surface constraint + normal
     constraints                   (fitPolynomialsImpl :303-402)
   * world->light-space coefficient rotation (rotatePolynomialEigen :785),
-    done here via symmetric-tensor einsums instead of symbolic expansion
+    done here as a trace-time multinomial expansion over lane vectors
   * poly-gradient ray adjustment  (adjustRayDirForPolynomialTracing :689)
 
 Coefficient order matches the reference exactly (degree-major, x-major
@@ -109,71 +109,46 @@ def fit_scale(k_eps):
 # coefficient rotation: f'(x) = f(S x) with S = [s t n] columns
 # ---------------------------------------------------------------------------
 
-def _coeffs_to_tensors(c):
-    """(..., 20) -> (c0, l (…,3), Q (…,3,3) sym, C (…,3,3,3) sym)."""
-    idx = {tuple(e): i for i, e in enumerate(map(tuple, EXPONENTS))}
-
-    def get(e):
-        return c[..., idx[e]]
-
-    c0 = get((0, 0, 0))
-    l = jnp.stack([get((1, 0, 0)), get((0, 1, 0)), get((0, 0, 1))], -1)
-    # Q symmetric with x^T Q x = sum: diag = coeff, off-diag = coeff/2
-    qxx, qyy, qzz = get((2, 0, 0)), get((0, 2, 0)), get((0, 0, 2))
-    qxy, qxz, qyz = get((1, 1, 0)) / 2, get((1, 0, 1)) / 2, get((0, 1, 1)) / 2
-    Q = jnp.stack([
-        jnp.stack([qxx, qxy, qxz], -1),
-        jnp.stack([qxy, qyy, qyz], -1),
-        jnp.stack([qxz, qyz, qzz], -1)], -2)
-    # cubic symmetric tensor: coeff of monomial e = C[perm] * multiplicity
-    shape = c.shape[:-1]
-    C = jnp.zeros(shape + (3, 3, 3), c.dtype)
-    for i, e in enumerate(EXPONENTS):
-        if e.sum() != 3:
-            continue
-        axes = []
-        for ax in range(3):
-            axes += [ax] * int(e[ax])
-        v = c[..., i] / MULTIPLICITY[i]
-        # set all permutations (symmetric): distinct index patterns only
-        from itertools import permutations
-        for p in set(permutations(axes)):
-            C = C.at[..., p[0], p[1], p[2]].set(v)
-    return c0, l, Q, C
-
-
-def _tensors_to_coeffs(c0, l, Q, C):
-    outs = []
-    for i, e in enumerate(EXPONENTS):
-        d = int(e.sum())
-        if d == 0:
-            outs.append(c0)
-        elif d == 1:
-            ax = int(np.argmax(e))
-            outs.append(l[..., ax])
-        elif d == 2:
-            axes = []
-            for ax in range(3):
-                axes += [ax] * int(e[ax])
-            outs.append(Q[..., axes[0], axes[1]] * MULTIPLICITY[i])
-        else:
-            axes = []
-            for ax in range(3):
-                axes += [ax] * int(e[ax])
-            outs.append(C[..., axes[0], axes[1], axes[2]] * MULTIPLICITY[i])
-    return jnp.stack(outs, -1)
-
-
 def rotate_poly(coeffs, S):
     """Express f(x_world) in rotated coordinates x_local: returns coeffs' of
     f'(x_local) = f(S @ x_local).  coeffs (..., 20), S (..., 3, 3).
-    Replaces rotatePolynomialEigen (polynomials.h:785) with tensor einsums.
-    """
-    c0, l, Q, C = _coeffs_to_tensors(coeffs)
-    l2 = jnp.einsum("...i,...ia->...a", l, S)
-    Q2 = jnp.einsum("...ia,...ij,...jb->...ab", S, Q, S)
-    C2 = jnp.einsum("...ijk,...ia,...jb,...kc->...abc", C, S, S, S)
-    return _tensors_to_coeffs(c0, l2, Q2, C2)
+    Replaces rotatePolynomialEigen (polynomials.h:785).
+
+    Implementation note (TPU): this is a trace-time multinomial expansion
+    over UNSTACKED (...,)-shaped component arrays.  The earlier
+    symmetric-tensor einsum formulation materialized per-lane (..., 3, 3, 3)
+    intermediates, which TPU tiled layouts pad on the trailing (3, 3) dims
+    to (4, 128) — a 57x inflation that OOM'd HBM at render wavefront sizes
+    (22.6 GB at 3.7M lanes).  Unrolling keeps every intermediate a flat
+    lane vector."""
+    from itertools import product as _product
+
+    c = [coeffs[..., m] for m in range(N_COEFFS)]
+    Sc = [[S[..., i, a] for a in range(3)] for i in range(3)]
+    idx = {tuple(e): m for m, e in enumerate(map(tuple, EXPONENTS))}
+    out = [None] * N_COEFFS
+
+    def acc(m, v):
+        out[m] = v if out[m] is None else out[m] + v
+
+    for m, e in enumerate(map(tuple, EXPONENTS)):
+        d = sum(e)
+        if d == 0:
+            acc(0, c[0])
+            continue
+        # y_i^{e_i} with y_i = sum_a S[i,a] x_a: one slot per factor
+        slots = []
+        for ax in range(3):
+            slots += [ax] * e[ax]
+        for assign in _product(range(3), repeat=d):
+            tgt = [0, 0, 0]
+            for a in assign:
+                tgt[a] += 1
+            w = c[m]
+            for i_slot, a in zip(slots, assign):
+                w = w * Sc[i_slot][a]
+            acc(idx[tuple(tgt)], w)
+    return jnp.stack(out, -1)
 
 
 # ---------------------------------------------------------------------------
