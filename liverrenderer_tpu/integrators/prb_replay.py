@@ -55,7 +55,6 @@ import numpy as np
 from .. import film as film_mod
 from ..scene.ir import FILTER_TENT, Scene
 from ..util import apply_params
-from . import volpath as vp
 from . import regen as regen_mod
 from .regen import (REGEN_WAVEFRONT, _make_lanes, _select_state,
                     eval_environment, lane_pos, _render_regen_tile,
@@ -79,10 +78,14 @@ _ENV_KEYS = ("emitters.params", "textures.data", "textures.bitmaps")
 def replay_applicable(scene: Scene, params: Dict[str, Array], spp: int) \
         -> bool:
     """The replay adjoint covers every regen-able configuration (volpath
-    family, box/tent filter, any film size / spp — large films and sample
-    budgets run the tiled schedule).  Sensor-parameter gradients are not
-    propagated (fall back to the scan adjoint for those)."""
+    AND surface-path families, box/tent filter, any film size / spp —
+    large films and sample budgets run the tiled schedule).  Sensor-
+    parameter gradients are not propagated, and SSS scenes keep the scan
+    adjoint (the VAE event's sampling geometry is not validated under the
+    per-bounce VJP yet) — both fall back."""
     return (regen_applicable(scene, "primal")
+            and not (scene.ssub.enabled
+                     and scene.integrator in regen_mod._SURFACE)
             and not any(k.startswith("sensor") for k in params))
 
 
@@ -192,7 +195,12 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
     sc_det = _detach(apply_params(scene, _detach(params)))
     budget = tile_pix * spp_chunk
     W = min(REGEN_WAVEFRONT, budget)
-    diff_env = any(k in _ENV_KEYS for k in params)
+    fam = regen_mod._family(scene)
+    # the surface family folds env radiance into L inside the bounce (its
+    # state has no env_weight), so env-parameter gradients arrive through
+    # the L cotangent and no deferred-env machinery applies
+    has_envw = scene.integrator not in regen_mod._SURFACE
+    diff_env = has_envw and any(k in _ENV_KEYS for k in params)
 
     def seed_aux(ids):
         rows = aux_pool[ids]             # ONE gather: [delta | Ltot]
@@ -204,7 +212,7 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
     g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
 
     refills = (budget + W - 1) // W
-    lane_cap = scene.max_depth * 4
+    lane_cap = regen_mod._lane_cap(scene)
     max_iters = lane_cap * (refills + 2)
 
     def cond(c):
@@ -216,10 +224,19 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
         was_active = st.active
         st_det = _detach(st)
 
-        if diff_env:
+        if not has_envw:
+            # surface family: env contribution lands in L inside bounce,
+            # so the L cotangent already carries env-parameter gradients
             def local(p):
                 sc = apply_params(scene, p)
-                st2 = vp.bounce(sc, st_det, True)
+                st2 = fam.bounce(sc, st_det, True)
+                return (st2.L, st2.throughput), st2
+            (L2, tp2), vjp_fn, st2 = jax.vjp(local, params, has_aux=True)
+            ew2d = E_det = jnp.zeros((W, 3))
+        elif diff_env:
+            def local(p):
+                sc = apply_params(scene, p)
+                st2 = fam.bounce(sc, st_det, True)
                 # env radiance along the post-bounce ray: for a lane
                 # escaping at THIS bounce ray_d is the escaping direction
                 # (bounce leaves it unchanged), so E both closes the
@@ -232,20 +249,21 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
             (L2, tp2, ew2, E), vjp_fn, st2 = jax.vjp(local, params,
                                                      has_aux=True)
             E_det = jax.lax.stop_gradient(E)
+            ew2d = jax.lax.stop_gradient(ew2)
         else:
             def local(p):
                 sc = apply_params(scene, p)
-                st2 = vp.bounce(sc, st_det, True)
+                st2 = fam.bounce(sc, st_det, True)
                 return (st2.L, st2.throughput, st2.env_weight), st2
             (L2, tp2, ew2), vjp_fn, st2 = jax.vjp(local, params,
                                                   has_aux=True)
             # no env parameter is differentiated: evaluate the (envmap
             # quad gather) radiance OUTSIDE the VJP, detached
             E_det = eval_environment(sc_det, st2.ray_d)
+            ew2d = jax.lax.stop_gradient(ew2)
 
         L2d = jax.lax.stop_gradient(L2)
         tp2d = jax.lax.stop_gradient(tp2)
-        ew2d = jax.lax.stop_gradient(ew2)
         R2 = L2d + ew2d * E_det
         suffix = jnp.where(jnp.abs(tp2d) > 1e-12,
                            (Ltot - R2) / jnp.where(jnp.abs(tp2d) > 1e-12,
@@ -259,8 +277,9 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
 
         msk = was_active[:, None]
         cts = (jnp.where(msk, delta, 0.0),
-               jnp.where(msk, delta * suffix, 0.0),
-               jnp.where(msk, delta * E_det, 0.0))
+               jnp.where(msk, delta * suffix, 0.0))
+        if has_envw:
+            cts = cts + (jnp.where(msk, delta * E_det, 0.0),)
         if diff_env:
             cts = cts + (jnp.where(died[:, None], delta * ew2d, 0.0),)
         (g_p,) = vjp_fn(cts)

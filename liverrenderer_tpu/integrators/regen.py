@@ -9,9 +9,9 @@ is splatted into the film *inside the loop* and the lane is re-seeded with
 the next (pixel, sample) from the global pool, so utilization stays ~100%
 until the pool drains.
 
-Applies to the volpath family in primal mode with a box filter (the liver
-benchmark configuration); other configurations fall back to the fixed
-wavefront.
+Applies to the volpath family AND the surface `path` family (incl. SSS
+scenes, which hook `path` — path.cpp:262-265) in primal mode with a
+box/tent filter; other configurations fall back to the fixed wavefront.
 """
 from __future__ import annotations
 
@@ -36,6 +36,36 @@ import os as _os
 # per-iteration overhead is amortized
 REGEN_WAVEFRONT = int(_os.environ.get("LR_WAVEFRONT", 1 << 16))
 
+# integrator names handled by the surface-path wavefront (path.py); the
+# rest of the regen-able set runs the volpath wavefront (volpath.py)
+_SURFACE = ("path", "direct")
+
+
+def _family(scene: Scene):
+    """Integrator module providing init_state/bounce for this scene —
+    scene.integrator is a static field, so this resolves at trace time."""
+    if scene.integrator in _SURFACE:
+        from . import path as path_mod
+        return path_mod
+    return vp
+
+
+def _lane_cap(scene: Scene) -> int:
+    """Per-lane iteration budget, matching each family's fixed-wavefront
+    loop cap so both renderers compute the identical per-sample estimate:
+    volpath.sample caps at max_depth*4 (null collisions don't advance
+    depth); path.sample lanes die by the depth gate itself."""
+    return scene.max_depth * (1 if scene.integrator in _SURFACE else 4)
+
+
+def _finalize_L(scene: Scene, st):
+    """Total path radiance at lane death.  The volpath family defers the
+    environment contribution into env_weight (one env eval per death
+    instead of per bounce); the surface family folds it into L in-loop."""
+    if hasattr(st, "env_weight"):
+        return st.L + st.env_weight * eval_environment(scene, st.ray_d)
+    return st.L
+
 
 def _make_lanes(scene: Scene, sample_ids, seed, spp: int, pix0: int = 0,
                 tile_pix: int | None = None, samp0=0):
@@ -57,7 +87,7 @@ def _make_lanes(scene: Scene, sample_ids, seed, spp: int, pix0: int = 0,
     uf, sampler = sampler.next_2d()
     pos = jnp.stack([px, py], -1) + uf
     ray = sample_ray(scene, pos)
-    st = vp.init_state(ray, sampler, scene)
+    st = _family(scene).init_state(ray, sampler, scene)
     return st, pos
 
 
@@ -152,9 +182,10 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
         film = jnp.zeros((tile_pix, 4))
     refills = (budget + W - 1) // W
     # per-lane iteration budget matches the fixed wavefront's loop cap
-    # (volpath.sample max_iters) so both renderers compute the identical
-    # per-sample estimate; the global cap is just a runaway backstop
-    lane_cap = scene.max_depth * 4
+    # (_lane_cap) so both renderers compute the identical per-sample
+    # estimate; the global cap is just a runaway backstop
+    fam = _family(scene)
+    lane_cap = _lane_cap(scene)
     max_iters = lane_cap * (refills + 2)
 
     def cond(c):
@@ -164,7 +195,7 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
     def body(c):
         st, pos, sid, film, pool_L, film_pool, age, next_s, it = c
         was_active = st.active
-        st = vp.bounce(scene, st, False)
+        st = fam.bounce(scene, st, False)
         age = age + 1
         st = st.replace(active=st.active & (age < lane_cap))
         died = was_active & ~st.active
@@ -176,7 +207,7 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
         # out, not clamped into real pixels; taps landing outside the tile
         # are dropped by the scatter's OOB semantics (filter-importance
         # normalization in develop keeps the estimator consistent).
-        L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
+        L = _finalize_L(scene, st)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
         in_range = pos[:, 1] < h
         p0i = jnp.asarray(pix0, jnp.int32)
@@ -335,7 +366,7 @@ def regen_applicable(scene: Scene, mode: str) -> bool:
     from .volpath import _has_bio
     # non-bio volpathmis runs the true spectral-MIS scheme
     # (integrators/volpathmis.py) which the regen bounce does not carry
-    ok_names = ("volpath", "biovolpath", "biovolpath06") \
+    ok_names = ("volpath", "biovolpath", "biovolpath06") + _SURFACE \
         + (("volpathmis",) if _has_bio(scene) else ())
     return (mode == "primal"
             and scene.integrator in ok_names

@@ -73,6 +73,159 @@ def render_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
     return run(scene, jnp.asarray(seed, jnp.uint32))
 
 
+# ---------------------------------------------------------------------------
+# sharded FAST paths: the regen wavefront + the PRB replay adjoint
+# (round 4 — VERDICT #1: the flagship perf paths under shard_map)
+# ---------------------------------------------------------------------------
+
+def _sharded_regen_tile(scene: Scene, seed, pix0, samp0_base, n_valid,
+                        spp: int, tile_pix: int, spp_local: int):
+    """Per-device body: one regen wavefront over this device's sample-index
+    chunk of a pixel tile, psum-merged.  Device d renders samples
+    [samp0_base + d*spp_local, ... + spp_local) of every tile pixel; the
+    counter RNG keys on the GLOBAL (pixel, sample) pair so the psum'd tile
+    is bit-identical (up to summation order) to the single-device tile.
+    Devices with index >= n_valid render a dummy chunk whose film is
+    masked out — the ragged-remainder path for spp % n_dev != 0."""
+    from ..integrators.regen import _render_regen_tile
+    dev = jax.lax.axis_index(AXIS)
+    samp0 = samp0_base + dev.astype(jnp.uint32) * jnp.uint32(spp_local)
+    film = _render_regen_tile(scene, seed, spp, pix0, tile_pix,
+                              samp0=samp0, spp_chunk=spp_local)
+    film = jnp.where(dev < n_valid, film, 0.0)
+    return jax.lax.psum(film, AXIS)
+
+
+def render_regen_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
+                         seed: int = 0):
+    """Distributed regen render -> (h, w, 4) accumulator: the fast
+    (regenerating-wavefront) primal under shard_map, sample-sharded over
+    the mesh, host-partitioned into watchdog-safe (tile, spp-chunk)
+    executions exactly like regen.render_regen_host.  Any spp: a
+    non-divisible remainder runs one extra 1-sample chunk on the first
+    r devices (masked on the rest).  On a 1-device mesh the compiled
+    program is the single-chip fast path plus a trivial psum."""
+    from ..integrators import regen as regen_mod
+    spp = spp or scene.spp
+    n_dev = mesh.devices.size
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    tile_pix = min(regen_mod.TILE_PIX, n_pix)
+    n_tiles = (n_pix + tile_pix - 1) // tile_pix
+
+    # main chunks: divisible slabs, each device's share under the
+    # watchdog budget; remainder spp handled by masked 1-sample chunks
+    spp_main = (spp // n_dev) * n_dev
+    r = spp - spp_main
+    local_cap = max(1, regen_mod.EXEC_PATH_BUDGET // tile_pix)
+    spp_local = max(1, min(spp_main // n_dev, local_cap)) if spp_main else 1
+    while spp_main % (spp_local * n_dev) != 0 and spp_local > 1:
+        spp_local -= 1
+    n_chunks = spp_main // (spp_local * n_dev) if spp_main else 0
+
+    fn = jax.jit(jax.shard_map(
+        partial(_sharded_regen_tile, spp=spp, tile_pix=tile_pix,
+                spp_local=spp_local),
+        mesh=mesh, in_specs=(P(), P(), P(), P(), P()), out_specs=P(),
+        check_vma=False))
+    fn_rem = jax.jit(jax.shard_map(
+        partial(_sharded_regen_tile, spp=spp, tile_pix=tile_pix,
+                spp_local=1),
+        mesh=mesh, in_specs=(P(), P(), P(), P(), P()), out_specs=P(),
+        check_vma=False)) if r else None
+
+    seed = jnp.asarray(seed, jnp.uint32)
+    film = np.zeros((n_tiles * tile_pix, 4), np.float32)
+    for t in range(n_tiles):
+        acc = None
+        for c in range(n_chunks):
+            tile = fn(scene, seed, jnp.uint32(t * tile_pix),
+                      jnp.uint32(c * spp_local * n_dev), jnp.int32(n_dev))
+            acc = tile if acc is None else acc + tile
+        if r:
+            tile = fn_rem(scene, seed, jnp.uint32(t * tile_pix),
+                          jnp.uint32(spp_main), jnp.int32(r))
+            acc = tile if acc is None else acc + tile
+        film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+    return jnp.asarray(film[:n_pix].reshape(h, w, 4))
+
+
+def _local_replay_grad(scene: Scene, params, g_rgb, seed,
+                       pix0, samp0_base, spp: int, tile_pix: int,
+                       spp_local: int):
+    """Per-device body of the sharded replay adjoint: stored forward +
+    backward walk over this device's sample chunk, grads psum-merged.
+    g_rgb (d loss / d accumulated-rgb per FILM pixel) is replicated."""
+    from ..integrators.prb_replay import (_aux_pool, _detach, _replay_walk)
+    from ..integrators.regen import _render_regen_tile
+    dev = jax.lax.axis_index(AXIS)
+    samp0 = samp0_base + dev.astype(jnp.uint32) * jnp.uint32(spp_local)
+    sc_det = _detach(apply_params(scene, _detach(params)))
+    _, pool_L = _render_regen_tile(sc_det, seed, spp, pix0, tile_pix,
+                                   store_paths=True, samp0=samp0,
+                                   spp_chunk=spp_local)
+    aux = _aux_pool(scene, g_rgb, pool_L, seed, spp, pix0, tile_pix,
+                    samp0, tile_pix * spp_local)
+    g = _replay_walk(scene, params, seed, spp, aux, pix0, tile_pix,
+                     samp0, spp_local)
+    return jax.lax.psum(g, AXIS)
+
+
+def render_grad_replay_sharded(scene: Scene, mesh: Mesh, params,
+                               loss_fn, spp: int, seed: int = 0):
+    """(loss, grads, image) through the SHARDED replay adjoint — the fast
+    gradient path (integrators/prb_replay.py) distributed over the mesh.
+
+    Schedule: one sharded-regen primal for the loss image (sample-sharded,
+    psum film), then per (pixel-tile, spp-chunk) partition a single
+    shard-mapped program re-renders each device's sample chunk with path
+    storage and replays it backward, psum-ing parameter grads — the
+    replay walk is embarrassingly parallel over the path pool, so the
+    only collectives per step are the film psum and the grad psum.
+    Requires spp % n_dev == 0 (pad the budget; gradients need every
+    sample walked exactly once)."""
+    from ..integrators import regen as regen_mod
+    from ..integrators import prb_replay as pr
+    n_dev = mesh.devices.size
+    if spp % n_dev:
+        raise ValueError(
+            f"sharded replay needs spp % n_devices == 0 (got {spp} over "
+            f"{n_dev}); pad the sample budget")
+    w, h = scene.film_w, scene.film_h
+    n_pix = w * h
+    tile_pix = min(regen_mod.TILE_PIX, n_pix)
+    n_tiles = (n_pix + tile_pix - 1) // tile_pix
+
+    # primal (sharded fast path) -> loss image + per-pixel cotangent
+    sc_det = apply_params(scene, jax.tree_util.tree_map(
+        jax.lax.stop_gradient, params))
+    acc = render_regen_sharded(sc_det, mesh, spp=spp, seed=seed)
+    loss, image, g_rgb = pr._loss_from_acc_jit(acc, loss_fn)
+
+    # per-device chunk: pools + walk working set must fit alongside the
+    # wavefront; mirror the single-chip pool cap per device
+    cap = max(1, pr.MAX_STORE_PATHS // tile_pix)
+    spp_local = max(1, min(spp // n_dev, cap))
+    while (spp // n_dev) % spp_local != 0:
+        spp_local -= 1
+    n_chunks = spp // (spp_local * n_dev)
+
+    fn = jax.jit(jax.shard_map(
+        partial(_local_replay_grad, spp=spp, tile_pix=tile_pix,
+                spp_local=spp_local),
+        mesh=mesh, in_specs=(P(), P(), P(), P(), P(), P()), out_specs=P(),
+        check_vma=False))
+
+    seed = jnp.asarray(seed, jnp.uint32)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for t in range(n_tiles):
+        for c in range(n_chunks):
+            g = fn(scene, params, g_rgb, seed, jnp.uint32(t * tile_pix),
+                   jnp.uint32(c * spp_local * n_dev))
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+    return loss, grads, image
+
+
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:

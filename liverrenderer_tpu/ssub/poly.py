@@ -30,13 +30,6 @@ EXPONENTS = np.array(
      (3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1), (1, 0, 2),
      (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)], np.int32)
 
-# multinomial multiplicity of each monomial (3! / (dx! dy! dz!))
-_FACT = [1, 1, 2, 6]
-MULTIPLICITY = np.array(
-    [_FACT[int(e.sum())] // (_FACT[e[0]] * _FACT[e[1]] * _FACT[e[2]])
-     for e in EXPONENTS], np.float32)
-
-
 def _powers(rel):
     """rel: (..., 3) -> monomial basis (..., 20) in reference order."""
     x, y, z = rel[..., 0], rel[..., 1], rel[..., 2]

@@ -44,8 +44,29 @@ def test_regen_auto_selected():
     scene = _fog_scene()
     assert regen.regen_applicable(scene, "primal")
     assert not regen.regen_applicable(scene, "ad")
-    assert not regen.regen_applicable(
+    # round 4: the surface family is regen-able too (path.cpp:194-345)
+    assert regen.regen_applicable(
         scene.replace(integrator="path"), "primal")
+    assert not regen.regen_applicable(
+        scene.replace(integrator="aov"), "primal")
+
+
+def test_regen_path_family_matches_fixed():
+    """Surface `path` through the regenerating wavefront is bit-identical
+    to the fixed wavefront (same counter RNG per (pixel, sample); surface
+    lanes die by the depth gate so no iteration-cap divergence)."""
+    d = lr.cornell_box()
+    d["integrator"] = {"type": "path", "max_depth": 4}
+    d["sensor"]["film"] = {"type": "hdrfilm", "width": 16, "height": 16,
+                           "rfilter": {"type": "box"}}
+    scene = lr.load_dict(d)
+    assert regen.regen_applicable(scene, "primal")
+    spp = 8
+    acc = np.asarray(regen.render_regen(scene, 0, spp))
+    np.testing.assert_allclose(acc[..., 3], spp)
+    img_r = np.asarray(fm.develop(acc))
+    img_f = np.asarray(_render_jit(scene, 0, spp, spp, "primal"))
+    np.testing.assert_allclose(img_r, img_f, rtol=1e-4, atol=1e-6)
 
 
 def test_tiled_film_matches_untiled(monkeypatch):
