@@ -117,6 +117,46 @@ def main():
         "baseline_paths_per_s": round(BASELINE_PATHS_PER_S),
     }
 
+    # ---- BASELINE config: cornell_box 256^2 @ 64 spp through the surface-
+    # path regen wavefront (round 4: path.cpp:194-345 now takes the fast
+    # path), plus the sharded code-path check: render_regen_sharded on a
+    # 1-device mesh runs the IDENTICAL tile program + a trivial psum, so
+    # mesh sharding costs nothing on one chip ----
+    if platform == "tpu":
+        d = lr.cornell_box()
+        d["integrator"] = {"type": "path", "max_depth": 8}
+        d["sensor"]["film"] = {"type": "hdrfilm", "width": 256,
+                               "height": 256, "rfilter": {"type": "box"}}
+        cb = lr.load_dict(d)
+        from liverrenderer_tpu.integrators.regen import regen_applicable
+        assert regen_applicable(cb, "primal")
+        img = lr.render(cb, spp=64, seed=0)
+        np.asarray(img)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            np.asarray(lr.render(cb, spp=64, seed=i + 1))
+        dt_cb = (time.perf_counter() - t0) / reps
+        extra["cornell_256_64spp_path_regen"] = {
+            "wall_s": round(dt_cb, 3),
+            "paths_per_s": round(256 * 256 * 64 / dt_cb),
+        }
+
+        from liverrenderer_tpu.parallel.mesh import (make_mesh,
+                                                     render_regen_sharded)
+        mesh1 = make_mesh(1)
+        acc = render_regen_sharded(scene, mesh1, spp=SPP, seed=0)
+        np.asarray(acc)
+        t0 = time.perf_counter()
+        for i in range(reps):
+            np.asarray(render_regen_sharded(scene, mesh1, spp=SPP,
+                                            seed=i + 1))
+        dt_mesh = (time.perf_counter() - t0) / reps
+        extra["mesh1_regen_sharded"] = {
+            "wall_s": round(dt_mesh, 3),
+            "paths_per_s": round(n_paths / dt_mesh),
+            "overhead_vs_single": round(dt_mesh / dt_primal - 1.0, 4),
+        }
+
     # ---- the literal reference config: 1920x1080 @ 256 spp primal, and
     # fwd+bwd at 1080p through the tiled replay adjoint (VERDICT r2 #1/#7;
     # reference wall time 2.6806 min, time.txt) ----

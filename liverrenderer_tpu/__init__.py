@@ -16,6 +16,7 @@ from .scene.cornell import cornell_box
 from .scene.transform import Transform
 from .scene.xml import load_file
 from .integrators.common import render
+from .integrators.regen import RenderControl
 from .integrators.prb import render_grad, render_fwd_grad
 from .integrators.aux import (render_aovs, render_depth, render_direct,
                               render_moments)

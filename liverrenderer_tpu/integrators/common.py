@@ -100,12 +100,19 @@ def _render_jit(scene: Scene, seed, spp: int, spp_pass: int,
 
 
 def render(scene: Scene, spp: int | None = None, seed: int = 0,
-           mode: str = "primal"):
-    """Render the scene to an (h, w, 3) linear-RGB image (mi.render analog)."""
+           mode: str = "primal", control=None):
+    """Render the scene to an (h, w, 3) linear-RGB image (mi.render analog).
+
+    control: optional regen.RenderControl — wall-clock timeout /
+    cooperative cancel / progress, honored between the host scheduler's
+    device executions (reference integrator.h:290-302 semantics).  Only
+    regen-able configurations are cancellable; the fixed-wavefront
+    fallback is a single device program."""
     spp = spp or scene.spp
     from .regen import regen_applicable, render_regen_host
     if regen_applicable(scene, mode):
-        return film_mod.develop(render_regen_host(scene, seed, spp))
+        return film_mod.develop(render_regen_host(scene, seed, spp,
+                                                  control=control))
     n_pix = scene.film_w * scene.film_h
     # VAE-SSS events carry heavy per-lane state (20 poly coeffs, frame
     # matrices, NN activations) whose trailing-dim tiling padding scales

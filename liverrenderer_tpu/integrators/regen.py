@@ -329,32 +329,101 @@ def _host_tile_jit(scene: Scene, seed, pix0, samp0, spp: int,
                               samp0=samp0, spp_chunk=spp_chunk)
 
 
-def render_regen_host(scene: Scene, seed, spp: int):
+class RenderControl:
+    """Cooperative cancellation + wall-clock timeout + progress for host-
+    scheduled renders (reference Integrator::cancel/should_stop/m_timeout,
+    integrator.h:290-302 + integrator.cpp:26): checked BETWEEN the
+    (tile, spp-chunk) device executions, so one execution (< ~17 s under
+    EXEC_PATH_BUDGET) is the response granularity.  On stop the partial
+    accumulator develops normally — filter weights stay consistent, pixels
+    of unrendered tiles are zero-weight (black), matching the reference's
+    SIGHUP partial develop (mitsuba.cpp:93-96).
+
+    timeout: seconds of wall clock (0 = none), measured from construction.
+    on_progress: optional callable(frac_done in [0, 1]).
+    frame(): the developed partial image at any moment (e.g. from the
+    checkpoint.install_partial_develop signal handler)."""
+
+    def __init__(self, timeout: float = 0.0, on_progress=None):
+        import time
+        self.timeout = timeout
+        self.on_progress = on_progress
+        self.stopped = False          # set when a render aborted early
+        self._cancel = False
+        self._t0 = time.monotonic()
+        self._partial = None          # (h, w, 4) np accumulator view
+        self._shape = None
+
+    def cancel(self) -> None:
+        self._cancel = True
+
+    def should_stop(self) -> bool:
+        import time
+        return self._cancel or (
+            self.timeout > 0
+            and time.monotonic() - self._t0 > self.timeout)
+
+    def frame(self):
+        """Developed partial image (h, w, 3), or None before any tile."""
+        if self._partial is None:
+            return None
+        from .. import film as film_mod
+        import numpy as np
+        h, w = self._shape
+        return np.asarray(
+            film_mod.develop(jnp.asarray(self._partial[:h * w]
+                                         .reshape(h, w, 4))))
+
+    def _update(self, film, shape, frac) -> None:
+        self._partial, self._shape = film, shape
+        if self.on_progress is not None:
+            self.on_progress(frac)
+
+
+def render_regen_host(scene: Scene, seed, spp: int,
+                      control: RenderControl | None = None):
     """Host-driven regen render: identical accumulator to `render_regen`
     (same counter RNG per sample id) but partitioned into (tile, spp-chunk)
     device executions each under EXEC_PATH_BUDGET paths, so no single
-    execution can trip the TPU watchdog.  Small jobs = one execution."""
+    execution can trip the TPU watchdog.  Small jobs = one execution
+    (unless a RenderControl is supplied — cancellation needs partition
+    boundaries to act on, so spp is then chunked at >= 4 partitions when
+    possible)."""
     w, h = scene.film_w, scene.film_h
     n_pix = w * h
     tile_pix = min(TILE_PIX, n_pix)
-    spp_chunk = max(1, min(spp, EXEC_PATH_BUDGET // tile_pix))
+    budget_cap = EXEC_PATH_BUDGET if control is None \
+        else min(EXEC_PATH_BUDGET, max(tile_pix, n_pix * spp // 4))
+    spp_chunk = max(1, min(spp, budget_cap // tile_pix))
     while spp % spp_chunk != 0:
         spp_chunk -= 1
     n_tiles = (n_pix + tile_pix - 1) // tile_pix
     n_chunks = spp // spp_chunk
-    if n_tiles == 1 and n_chunks == 1:
+    if n_tiles == 1 and n_chunks == 1 and control is None:
         return render_regen(scene, seed, spp)
     import numpy as np
     film = np.zeros((n_tiles * tile_pix, 4), np.float32)
+    done = 0
     for t in range(n_tiles):
         acc = None
         for c in range(n_chunks):
+            if control is not None and control.should_stop():
+                control.stopped = True
+                if acc is not None:
+                    film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+                return jnp.asarray(film[:n_pix].reshape(h, w, 4))
             tile = _host_tile_jit(scene, jnp.asarray(seed, jnp.uint32),
                                   jnp.uint32(t * tile_pix),
                                   jnp.uint32(c * spp_chunk),
                                   spp, tile_pix, spp_chunk)
             acc = tile if acc is None else acc + tile
-        film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+            done += 1
+            if control is not None:
+                film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+                control._update(film, (h, w),
+                                done / (n_tiles * n_chunks))
+        if control is None:
+            film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
     return jnp.asarray(film[:n_pix].reshape(h, w, 4))
 
 

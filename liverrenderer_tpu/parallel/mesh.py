@@ -41,25 +41,36 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs[:n]), (AXIS,))
 
 
-def _local_pass(scene: Scene, seed, spp_local: int, mode: str):
-    """Per-device body: render this device's sample-index slab."""
+def _local_pass(scene: Scene, seed, spp_local: int, mode: str,
+                extra: int = 0):
+    """Per-device body: render this device's sample-index slab.  extra=r
+    handles spp % n_dev != 0: the first r devices render ONE additional
+    sample (global index n_dev*spp_local + dev); the rest compute the
+    same masked pass so the SPMD program stays uniform."""
     dev = jax.lax.axis_index(AXIS)
-    offset = dev * spp_local
-    acc = render_pass(scene, seed, spp_local, offset, mode)
+    acc = None
+    if spp_local > 0:
+        acc = render_pass(scene, seed, spp_local, dev * spp_local, mode)
+    if extra > 0:
+        n = jax.lax.axis_size(AXIS)
+        e = render_pass(scene, seed, 1, n * spp_local + dev, mode)
+        e = jnp.where(dev < extra, e, 0.0)
+        acc = e if acc is None else acc + e
     return jax.lax.psum(acc, AXIS)
 
 
 def render_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
                    seed: int = 0, mode: str = "primal"):
     """Distributed render: image identical (up to summation order) to the
-    single-device render with the same total spp."""
+    single-device render with the same total spp.  Any spp — a remainder
+    r = spp % n_dev runs as one masked extra sample on the first r
+    devices instead of aborting."""
     spp = spp or scene.spp
     n_dev = mesh.devices.size
-    assert spp % n_dev == 0, f"spp {spp} must divide over {n_dev} devices"
-    spp_local = spp // n_dev
+    spp_local, r = divmod(spp, n_dev)
 
     fn = jax.shard_map(
-        partial(_local_pass, spp_local=spp_local, mode=mode),
+        partial(_local_pass, spp_local=spp_local, mode=mode, extra=r),
         mesh=mesh,
         in_specs=(P(), P()),     # scene + seed replicated
         out_specs=P(),           # film fully replicated after psum
@@ -260,8 +271,11 @@ def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
     spp = spp or scene.spp
     n_dev = mesh.devices.size
     h, w = scene.film_h, scene.film_w
-    assert h % n_dev == 0, f"film height {h} must divide over {n_dev}"
-    rows = h // n_dev
+    # pad the row count up to the mesh: each device renders `rows` rows;
+    # rows past the film (global row >= h) are masked out of the shard
+    # and sliced off after the gather — no divisibility requirement
+    rows = (h + n_dev - 1) // n_dev
+    h_pad = rows * n_dev
     if interleave is None:
         interleave = film_mod.filter_radius(scene.rfilter) == 0
     assert not (interleave and film_mod.filter_radius(scene.rfilter) > 0), \
@@ -300,6 +314,11 @@ def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
             [pos[:, 0], row_local.astype(jnp.float32) + (pos[:, 1] % 1.0)],
             -1)
         acc = film_mod.splat(w, rows, scene.rfilter, pos_local, L)
+        # zero padded rows (global row >= h): values AND weights, so the
+        # develop of the assembled film sees no phantom samples
+        lr = jnp.arange(rows)
+        grow = lr * n_dev + dev if interleave else dev * rows + lr
+        acc = acc * (grow < h)[:, None, None]
         return acc
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), P()),
@@ -308,22 +327,25 @@ def render_tiled(scene: Scene, mesh: Mesh, spp: int | None = None,
     @jax.jit
     def run(sc, sd):
         acc = fn(sc, sd)
+        c = acc.shape[-1]
         if interleave:
             # gathered order is dev-major (dev, local); image row
             # local * n_dev + dev -> transpose back to scanline order
-            c = acc.shape[-1]
-            acc = acc.reshape(n_dev, rows, w, c).transpose(1, 0, 2, 3) \
-                     .reshape(h, w, c)
-        return film_mod.develop(acc)
+            acc = acc.reshape(n_dev, rows, w, c).transpose(1, 0, 2, 3)
+        return film_mod.develop(acc.reshape(h_pad, w, c)[:h])
 
     return run(scene, jnp.asarray(seed, jnp.uint32))
 
 
 def measure_scaling(scene: Scene, n_devices: int | None = None,
-                    spp: int = 16, seed: int = 0, reps: int = 3) -> dict:
+                    spp: int = 16, seed: int = 0, reps: int = 3,
+                    renderer: str = "pass") -> dict:
     """Wall-clock scaling proxy on whatever devices exist (virtual CPU
     mesh or a real slice): render a FIXED total workload on a 1-device
     mesh and on the full mesh; efficiency = t1 / (tN * N) on real chips.
+
+    renderer="regen" times the sharded FAST path (render_regen_sharded);
+    "pass" times the fixed-wavefront render_sharded.
 
     On the virtual CPU mesh all "devices" share one host, so the ideal
     is equal wall-clock (the same total flops) and the reported
@@ -336,12 +358,16 @@ def measure_scaling(scene: Scene, n_devices: int | None = None,
     mesh1 = make_mesh(1)
     meshN = make_mesh(n)
 
+    def run(mesh, s):
+        if renderer == "regen":
+            return render_regen_sharded(scene, mesh, spp=spp, seed=s)
+        return render_sharded(scene, mesh, spp=spp, seed=s)
+
     def timed(mesh):
-        render_sharded(scene, mesh, spp=spp, seed=seed).block_until_ready()
+        run(mesh, seed).block_until_ready()
         t0 = time.perf_counter()
         for i in range(reps):
-            render_sharded(scene, mesh, spp=spp,
-                           seed=seed + 1 + i).block_until_ready()
+            run(mesh, seed + 1 + i).block_until_ready()
         return (time.perf_counter() - t0) / reps
 
     t1, tn = timed(mesh1), timed(meshN)
@@ -407,11 +433,10 @@ def make_train_step(scene: Scene, mesh: Mesh, loss_fn, optimizer,
     psum, Adam update — compiles to ONE XLA program on the mesh.
     """
     n_dev = mesh.devices.size
-    assert spp % n_dev == 0
-    spp_local = spp // n_dev
+    spp_local, r = divmod(spp, n_dev)
 
     local = jax.shard_map(
-        partial(_local_pass, spp_local=spp_local, mode=mode),
+        partial(_local_pass, spp_local=spp_local, mode=mode, extra=r),
         mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False)
 
     def loss_of(params, target, seed):
