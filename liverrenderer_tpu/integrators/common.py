@@ -116,7 +116,11 @@ def render(scene: Scene, spp: int | None = None, seed: int = 0,
     n_pix = scene.film_w * scene.film_h
     # VAE-SSS events carry heavy per-lane state (20 poly coeffs, frame
     # matrices, NN activations) whose trailing-dim tiling padding scales
-    # with the wavefront — cap those passes well below MAX_WAVEFRONT
+    # with the wavefront — cap those passes well below MAX_WAVEFRONT.
+    # NOTE: the cap bounds spp_pass only, so it binds when n_pix <= 2^17;
+    # larger SSS films take the regen path above (64k-lane wavefront,
+    # pixel-tiled) whenever the filter allows — this fixed-wavefront
+    # fallback only sees big-film SSS under exotic filters/modes
     max_wf = (1 << 17) if scene.ssub.enabled else MAX_WAVEFRONT
     spp_pass = max(1, min(spp, max_wf // max(n_pix, 1)))
     while spp % spp_pass != 0:

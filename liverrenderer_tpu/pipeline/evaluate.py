@@ -84,6 +84,35 @@ CONFIGS = {
 }
 
 
+def _clean_error(e: Exception, limit: int = 400) -> str:
+    """Persistable error string: ANSI escapes and infra log lines (relay
+    URLs, host paths) stripped, truncated — raw XLA errors embed both."""
+    import re
+    txt = f"{type(e).__name__}: {e}"
+    txt = re.sub(r"\x1b\[[0-9;]*m", "", txt)
+    lines = [ln for ln in txt.splitlines()
+             if not re.search(r"https?://|^[EWI]\d{4}|\.cc:\d", ln)]
+    out = " ".join(" ".join(lines).split())
+    return out[:limit] + ("…" if len(out) > limit else "")
+
+
+def _subsurface_silhouette(scene) -> np.ndarray:
+    """(h, w) bool mask of pixels whose center camera ray hits a shape
+    with a subsurface instance attached — the exact object silhouette."""
+    import jax.numpy as jnp
+
+    from ..accel.intersect import ray_intersect
+    from ..core import math as m
+    from ..sensor.perspective import sample_ray
+
+    w, h = scene.film_w, scene.film_h
+    px, py = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    pos = jnp.asarray(np.stack([px.ravel(), py.ravel()], -1), jnp.float32)
+    si = ray_intersect(scene, sample_ray(scene, pos))
+    ss = m.table_lookup(scene.shape_subsurface, jnp.maximum(si.shape, 0))
+    return np.asarray(si.valid & (ss >= 0)).reshape(h, w)
+
+
 def _load_scene(path: str, opts: dict, w: int, h: int, spp: int):
     import liverrenderer_tpu as lr  # noqa: F401
     from ..scene.builder import load_dict
@@ -132,7 +161,7 @@ def evaluate(scenes_dir="/root/reference/scenes", out_dir=".",
         except Exception as e:             # noqa: BLE001 — a TPU worker
             # fault on one scene must not abort the batch
             log(f"{name}: FAILED ({type(e).__name__}: {e})")
-            table[name] = {"error": f"{type(e).__name__}: {e}"}
+            table[name] = {"error": _clean_error(e)}
         with open(rpath, "w") as f:
             json.dump(table, f, indent=2)
     return table
@@ -182,12 +211,14 @@ def _eval_one(scenes_dir, out_dir, downsample, spp, table, name, xml,
             # background, where both images are pure envmap and should
             # agree exactly, and (2) the object interiors, whose mean
             # radiance isolates the VAE-SSS absorption from the
-            # unmatchable silhouette
+            # unmatchable silhouette.  The golden's object reads as its
+            # dark region; OURS is taken geometrically (camera-ray hits
+            # on the subsurface shape) — our render is legitimately
+            # bright (golden-object staleness, see header note), so a
+            # luminance mask would miss it entirely.
             lum_r = b @ np.array([0.2126, 0.7152, 0.0722])
-            lum_o = a @ np.array([0.2126, 0.7152, 0.0722])
             obj_r = lum_r < 0.02
-            obj_o = lum_o < 0.02
-            grow = np.ones((5, 5), bool)
+            obj_o = _subsurface_silhouette(scene)
 
             def dilate(msk):
                 from numpy.lib.stride_tricks import sliding_window_view

@@ -65,6 +65,8 @@ class SSEvent:
     weight: Array       # (N,3) throughput multiplier
     pdf: Array          # (N,) pdf of the continuation dir (cosine lobe)
     L_nee: Array        # (N,3) exit-point NEE contribution (x throughput)
+    absorbed: Array     # (N,) VAE absorption-head kill (validation AOV)
+    absorb_p: Array     # (N,) the absorption probability itself
 
 
 def _nearest_vertex_poly(scene, si):
@@ -236,4 +238,5 @@ def subsurface_event(scene, si, refr_d, sampler, active):
     return SSEvent(alive=alive, passthrough=passthrough,
                    out_p=out_p, out_d=out_d, out_n=exit_n,
                    weight=weight_final, pdf=pdf,
-                   L_nee=jnp.where(do_vae[:, None], L_nee, 0.0)), sampler
+                   L_nee=jnp.where(do_vae[:, None], L_nee, 0.0),
+                   absorbed=absorbed, absorb_p=absorb_p), sampler

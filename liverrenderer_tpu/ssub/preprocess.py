@@ -18,9 +18,18 @@ K_NEAREST = 24
 
 def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
                    seed: int = 7):
-    """Area-uniform surface samples -> (pos (n,3), normal (n,3))."""
+    """Area-uniform surface samples -> (pos (n,3), normal (n,3)).
+
+    The poly fit's gradient constraints need OUTWARD normals (training
+    convention: inside f < 0, polynomials.h fitPolynomialsImpl); an
+    inward-wound mesh would silently invert every fitted poly, so the
+    winding is checked globally via the divergence-theorem signed volume
+    and flipped if negative."""
     rng = np.random.default_rng(seed)
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    signed_vol = np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0
+    if signed_vol < 0:
+        v1, v2 = v2, v1
     fn = np.cross(v1 - v0, v2 - v0)
     area = 0.5 * np.linalg.norm(fn, axis=-1)
     fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)

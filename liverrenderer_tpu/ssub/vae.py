@@ -85,6 +85,20 @@ def load_model(model_dir: str = DEFAULT_MODEL_DIR,
         return jnp.asarray(load_bin(os.path.join(v, name)).reshape(-1))
 
     stats = json.load(open(stats_path))
+    # The poly-feature normalization must use the stats the model was
+    # TRAINED with: training-metadata.json config0.shape_features_name =
+    # "mlsPolyLS3" (light-space) for the shipped model.  NOTE the
+    # reference's ScatterModelSimShared ctor hardcodes "mlsPoly3_mean"
+    # (scattereigen.h:280-285) — world-space stats under a light-space
+    # rotation, part of this snapshot's broken SSS plumbing (SURVEY
+    # §2.6); we follow the training contract, which also matches the
+    # AbsorptionModel ctor's stats[shapeFeaturesName + "_mean"].
+    feat_key = "mlsPolyLS3"
+    meta_path = os.path.join(model_dir, "training-metadata.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        feat_key = meta.get("config0", {}).get("shape_features_name",
+                                               feat_key)
     return VAEWeights(
         pre_w0=W("shared_preproc_mlp_2_shapemlp_fcn_0_weights.bin"),
         pre_b0=b("shared_preproc_mlp_2_shapemlp_fcn_0_biases.bin"),
@@ -104,9 +118,9 @@ def load_model(model_dir: str = DEFAULT_MODEL_DIR,
         dec_b2=b("scatter_decoder_fcn_fcn_2_biases.bin"),
         out_w=W("scatter_dense_2_kernel.bin"),
         out_b=b("scatter_dense_2_bias.bin"),
-        feat_mean=jnp.asarray(np.asarray(stats["mlsPoly3_mean"],
+        feat_mean=jnp.asarray(np.asarray(stats[feat_key + "_mean"],
                                          np.float32)),
-        feat_stdinv=jnp.asarray(np.asarray(stats["mlsPoly3_stdinv"],
+        feat_stdinv=jnp.asarray(np.asarray(stats[feat_key + "_stdinv"],
                                            np.float32)),
         albedo_mean=jnp.float32(stats["effAlbedo_mean"][0]),
         albedo_stdinv=jnp.float32(stats["effAlbedo_stdinv"][0]),
