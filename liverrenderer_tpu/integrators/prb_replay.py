@@ -389,11 +389,25 @@ def _tile_grad_jit(scene: Scene, params, seed, g_rgb, pix0, samp0,
 POOL_BYTES_CAP = 2 << 30
 
 
+def _pool_spp_cap(scene: Scene, tile_pix: int) -> int:
+    """Per-partition spp cap for the stored-path pool.  The packed pool
+    (tent filter) is budget-row-limited (MAX_STORE_PATHS keeps the XLA
+    scatter in its fast <=2^18-row regime); the FUSED film+pool layout
+    (box filter, regen.py) scatters into tile_pix rows regardless of the
+    chunk, so only its 16-strata column cap binds — larger chunks mean
+    fewer partitions and a proportionally smaller wavefront drain tail
+    (measured v5e 1080p@16spp: fwd+bwd 2.95x -> ~2.2x primal)."""
+    from ..scene.ir import FILTER_TENT
+    if scene.rfilter != FILTER_TENT:
+        return 16
+    return max(1, MAX_STORE_PATHS // tile_pix)
+
+
 def _grad_replay_tiled(scene: Scene, params, loss_fn, spp: int, seed):
     w, h = scene.film_w, scene.film_h
     n_pix = w * h
     tile_pix = min(regen_mod.TILE_PIX, n_pix)
-    spp_chunk = max(1, min(spp, MAX_STORE_PATHS // tile_pix))
+    spp_chunk = max(1, min(spp, _pool_spp_cap(scene, tile_pix)))
     while spp % spp_chunk != 0:
         spp_chunk -= 1
     n_tiles = (n_pix + tile_pix - 1) // tile_pix

@@ -234,7 +234,7 @@ def render_grad_replay_sharded(scene: Scene, mesh: Mesh, params,
 
     # per-device chunk: pools + walk working set must fit alongside the
     # wavefront; mirror the single-chip pool cap per device
-    cap = max(1, pr.MAX_STORE_PATHS // tile_pix)
+    cap = pr._pool_spp_cap(scene, tile_pix)
     spp_local = max(1, min(spp // n_dev, cap))
     while (spp // n_dev) % spp_local != 0:
         spp_local -= 1
