@@ -21,6 +21,7 @@ from .integrators.prb import render_grad, render_fwd_grad
 from .integrators.aux import (render_aovs, render_depth, render_direct,
                               render_moments)
 from .integrators.ptracer import render_ptracer
+from .integrators.spectral import render_specfilm
 from .integrators.stokes import render_stokes
 from .util import traverse, apply_params, SceneParameters
 from .largesteps import LargeSteps

@@ -40,8 +40,9 @@ class PathState:
     depth: Array         # (N,) int32
     ray_o: Array         # (N,3)
     ray_d: Array         # (N,3)
-    L: Array             # (N,3) accumulated radiance
-    throughput: Array    # (N,3)
+    L: Array             # (N,C) accumulated radiance (C=3 RGB; N_SPEC spectral)
+    throughput: Array    # (N,C)
+    lam: Array           # (N,N_SPEC) hero wavelengths ((N,1) dummy in RGB)
     eta: Array           # (N,)
     prev_p: Array        # (N,3) last scatter position (MIS ref point)
     prev_pdf: Array      # (N,) last bsdf sample pdf
@@ -52,12 +53,21 @@ class PathState:
 
 def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> PathState:
     n = ray.o.shape[0]
+    if scene.spectral:
+        from ..core import spectrum as spec
+        u, sampler = sampler.next_1d()
+        lam = spec.sample_hero(u)
+        C = spec.N_SPEC
+    else:
+        lam = jnp.zeros((n, 1))
+        C = 3
     return PathState(
         active=jnp.ones((n,), bool),
         depth=jnp.zeros((n,), jnp.int32),
         ray_o=ray.o, ray_d=ray.d,
-        L=jnp.zeros((n, 3)),
-        throughput=jnp.ones((n, 3)),
+        L=jnp.zeros((n, C)),
+        throughput=jnp.ones((n, C)),
+        lam=lam,
         eta=jnp.ones((n,)),
         prev_p=ray.o,
         prev_pdf=jnp.ones((n,)),
@@ -78,12 +88,29 @@ def bounce(scene: Scene, st: PathState, ad: bool = False) -> PathState:
     active = st.active
     ray = Ray(o=st.ray_o, d=st.ray_d, maxt=jnp.full((n,), jnp.inf))
 
+    if scene.spectral:
+        # spectral variant: lift RGB radiometric factors to the lane's
+        # hero-wavelength packet (core/spectrum.py — reflectances by the
+        # Smits basis, radiances D65-referenced per srgb_d65)
+        from ..core import spectrum as _spec
+
+        def refl(v):
+            return _spec.smits_upsample(v, st.lam)
+
+        def illum(v):
+            return _spec.smits_upsample_illum(v, st.lam)
+    else:
+        def refl(v):
+            return v
+        illum = refl
+
     si = ray_intersect(scene, ray)
     si = shading_frame_with_bump(scene, si, ray)
 
     # ---------------- emission gathered along the BSDF-sampled ray --------
     em_val, eidx = eval_emitter_hit(scene, si, ray.d)
     env_val = eval_environment(scene, ray.d)
+    em_val, env_val = illum(em_val), illum(env_val)
     hit_emitter = (eidx >= 0) & si.valid
     escaped = ~si.valid
     if scene.emitters.env_index >= 0:
@@ -125,7 +152,8 @@ def bounce(scene: Scene, st: PathState, ad: bool = False) -> PathState:
     mis_em = m.mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, bpdf))
     st = st.replace(L=st.L + jnp.where(
         nee_valid[:, None],
-        st.throughput * bval * em_weight * mis_em[:, None], 0.0))
+        st.throughput * refl(bval) * illum(em_weight) * mis_em[:, None],
+        0.0))
 
     # ---------------- BSDF sampling ---------------------------------------
     ub1, sampler = sampler.next_1d()
@@ -135,7 +163,7 @@ def bounce(scene: Scene, st: PathState, ad: bool = False) -> PathState:
                                     jnp.maximum(si.shape, 0)), ub1, ub2)
     wo_world = si.to_world(bs.wo)
     new_ray = si.spawn_ray(wo_world)
-    weight = bs.weight
+    weight = refl(bs.weight)
     if ad:
         # detach the ray; recover the bounce-local differentiable factor
         # by re-evaluating smooth lobes at the detached direction
@@ -148,11 +176,11 @@ def bounce(scene: Scene, st: PathState, ad: bool = False) -> PathState:
         val2, _ = bsdf_eval_pdf(
             scene, si, m.table_lookup(scene.shape_bsdf,
                                       jnp.maximum(si.shape, 0)), wo_re)
-        w_re = val2 / jnp.maximum(
+        w_re = refl(val2) / jnp.maximum(
             jax.lax.stop_gradient(bs.pdf), 1e-12)[:, None]
         smooth_lobe = (bs.sampled_type & F_DELTA) == 0
         weight = jnp.where(smooth_lobe[:, None], w_re,
-                           jax.lax.stop_gradient(bs.weight))
+                           jax.lax.stop_gradient(refl(bs.weight)))
     throughput = st.throughput * weight
     eta = st.eta * bs.eta
     sampled_smooth = (bs.sampled_type & F_DELTA) == 0
@@ -241,4 +269,8 @@ def sample(scene: Scene, sampler: Sampler, ray: Ray, mode: str = "primal"):
         def step(s, _):
             return body(s), None
         st, _ = jax.lax.scan(step, st, None, length=scene.max_depth)
-    return st.L, st.valid, st.sampler
+    L = st.L
+    if scene.spectral:
+        from ..core import spectrum as spec
+        L = spec.spec_to_rgb_estimate(L, st.lam)
+    return L, st.valid, st.sampler

@@ -84,6 +84,7 @@ def replay_applicable(scene: Scene, params: Dict[str, Array], spp: int) \
     adjoint (the VAE event's sampling geometry is not validated under the
     per-bounce VJP yet) — both fall back."""
     return (regen_applicable(scene, "primal")
+            and not scene.spectral
             and not (scene.ssub.enabled
                      and scene.integrator in regen_mod._SURFACE)
             and not any(k.startswith("sensor") for k in params))

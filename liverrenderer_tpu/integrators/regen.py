@@ -61,9 +61,14 @@ def _lane_cap(scene: Scene) -> int:
 def _finalize_L(scene: Scene, st):
     """Total path radiance at lane death.  The volpath family defers the
     environment contribution into env_weight (one env eval per death
-    instead of per bounce); the surface family folds it into L in-loop."""
+    instead of per bounce); the surface family folds it into L in-loop.
+    Spectral lanes convert their wavelength packet to RGB here, so the
+    film/pool stay 3-channel."""
     if hasattr(st, "env_weight"):
         return st.L + st.env_weight * eval_environment(scene, st.ray_d)
+    if scene.spectral:
+        from ..core import spectrum as spec
+        return spec.spec_to_rgb_estimate(st.L, st.lam)
     return st.L
 
 
@@ -125,8 +130,20 @@ TILE_PIX = 1 << 18
 # paths per DEVICE EXECUTION for the host-driven schedule: the TPU runtime
 # watchdog kills workers whose single execution runs multi-minutes (a
 # 1080p@256spp render in one jit = ~140 s = dead worker).  ~64M paths is
-# ~17 s on v5e — safely under the watchdog with headroom for slow scenes.
+# ~17 s on v5e for Liver-SingleMesh — but per-path cost varies ~10x
+# across scenes (SphereLiverConstEnv's deep parenchyma walks crashed the
+# round-3 worker at 33M paths in one execution), so render_regen_host
+# additionally ADAPTS the chunk size from a timed probe execution
+# (PROBE_PATHS, TARGET_EXEC_S below); this constant is the absolute cap.
 EXEC_PATH_BUDGET = 1 << 26
+
+# probe-adaptive scheduling: first execution renders PROBE_PATHS paths
+# and is timed (execution only — the program is compiled separately so
+# relay compile minutes don't pollute the estimate); remaining chunks
+# target TARGET_EXEC_S seconds each, as power-of-two spp chunks so the
+# compile variety stays logarithmic (each size caches persistently).
+PROBE_PATHS = 1 << 22
+TARGET_EXEC_S = 18.0
 
 # path-pool packing factor (see _render_regen_tile store_paths)
 _POOL_PACK = 8
@@ -384,46 +401,65 @@ def render_regen_host(scene: Scene, seed, spp: int,
                       control: RenderControl | None = None):
     """Host-driven regen render: identical accumulator to `render_regen`
     (same counter RNG per sample id) but partitioned into (tile, spp-chunk)
-    device executions each under EXEC_PATH_BUDGET paths, so no single
-    execution can trip the TPU watchdog.  Small jobs = one execution
-    (unless a RenderControl is supplied — cancellation needs partition
-    boundaries to act on, so spp is then chunked at >= 4 partitions when
-    possible)."""
+    device executions, so no single execution can trip the TPU watchdog.
+
+    The chunk size is PROBE-ADAPTIVE: per-path cost varies ~10x across
+    scenes, so the second execution (first is a warm-up that may include
+    compile) is timed and the remaining chunks target TARGET_EXEC_S
+    seconds each, as power-of-two spp chunks (bounded compile variety)
+    capped by EXEC_PATH_BUDGET.  Small jobs = one execution (unless a
+    RenderControl is supplied — cancellation needs partition boundaries)."""
+    import time as _time
+
+    import numpy as np
+
     w, h = scene.film_w, scene.film_h
     n_pix = w * h
     tile_pix = min(TILE_PIX, n_pix)
+    n_tiles = (n_pix + tile_pix - 1) // tile_pix
     budget_cap = EXEC_PATH_BUDGET if control is None \
         else min(EXEC_PATH_BUDGET, max(tile_pix, n_pix * spp // 4))
-    spp_chunk = max(1, min(spp, budget_cap // tile_pix))
-    while spp % spp_chunk != 0:
-        spp_chunk -= 1
-    n_tiles = (n_pix + tile_pix - 1) // tile_pix
-    n_chunks = spp // spp_chunk
-    if n_tiles == 1 and n_chunks == 1 and control is None:
+    cap_spp = max(1, budget_cap // tile_pix)
+    if n_tiles == 1 and spp * tile_pix <= PROBE_PATHS and control is None:
         return render_regen(scene, seed, spp)
-    import numpy as np
+
+    seed_u = jnp.asarray(seed, jnp.uint32)
+    c0 = min(spp, max(1, PROBE_PATHS // tile_pix), cap_spp)
+    c0 = 1 << (c0.bit_length() - 1)
+    c_eff = c0
+    timed = False
+    n_exec = 0
     film = np.zeros((n_tiles * tile_pix, 4), np.float32)
-    done = 0
     for t in range(n_tiles):
         acc = None
-        for c in range(n_chunks):
+        s0 = 0
+        while s0 < spp:
             if control is not None and control.should_stop():
                 control.stopped = True
                 if acc is not None:
-                    film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+                    film[t * tile_pix:(t + 1) * tile_pix] = acc
                 return jnp.asarray(film[:n_pix].reshape(h, w, 4))
-            tile = _host_tile_jit(scene, jnp.asarray(seed, jnp.uint32),
-                                  jnp.uint32(t * tile_pix),
-                                  jnp.uint32(c * spp_chunk),
-                                  spp, tile_pix, spp_chunk)
+            c = min(c_eff, 1 << ((spp - s0).bit_length() - 1))
+            t0 = _time.perf_counter()
+            tile = np.asarray(_host_tile_jit(
+                scene, seed_u, jnp.uint32(t * tile_pix), jnp.uint32(s0),
+                spp, tile_pix, c))
+            dt = _time.perf_counter() - t0
+            n_exec += 1
+            if not timed and n_exec == 2 and c == c0:
+                # execution-only estimate (exec 1 may have compiled)
+                rate = tile_pix * c / max(dt, 1e-3)
+                cm = max(c0, min(int(TARGET_EXEC_S * rate // tile_pix),
+                                 cap_spp))
+                c_eff = 1 << (cm.bit_length() - 1)
+                timed = True
             acc = tile if acc is None else acc + tile
-            done += 1
+            s0 += c
             if control is not None:
-                film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+                film[t * tile_pix:(t + 1) * tile_pix] = acc
                 control._update(film, (h, w),
-                                done / (n_tiles * n_chunks))
-        if control is None:
-            film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
+                                (t * spp + s0) / (n_tiles * spp))
+        film[t * tile_pix:(t + 1) * tile_pix] = acc
     return jnp.asarray(film[:n_pix].reshape(h, w, 4))
 
 

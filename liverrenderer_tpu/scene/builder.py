@@ -1711,9 +1711,18 @@ def _dipole_preprocess(scene: Scene, b: "_Builder", V, F) -> Scene:
         dip_area=jnp.asarray(area), dip_consts=jnp.asarray(consts)))
 
 
-def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
-    """Build a Scene from a Mitsuba-style dict (mi.load_dict equivalent)."""
+def load_dict(d: Dict[str, Any], base_dir: str = ".",
+              variant: str | None = None) -> Scene:
+    """Build a Scene from a Mitsuba-style dict (mi.load_dict equivalent).
+
+    variant: None/"rgb" (default) or "spectral" — the mi.set_variant
+    analog (fwd.h:216 *_spectral_* builds).  Also honored as a top-level
+    dict key {"variant": "spectral"}.  Spectral covers the surface-path
+    family (RGB inputs lifted via Smits upsampling, core/spectrum.py);
+    volumetric/bio transport keeps its own per-channel spectral-MIS
+    scheme, and SSS hooks are RGB-only."""
     assert d.get("type") == "scene", "top-level dict must be a scene"
+    variant = variant or d.get("variant")
     b = _Builder(base_dir=base_dir)
 
     # pass 1: named non-shape resources (so refs resolve)
@@ -1801,4 +1810,12 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".") -> Scene:
         elif t in _EMITTER_TYPES:
             b.build_emitter(val)
 
-    return b.finalize()
+    scene = b.finalize()
+    if variant and "spectral" in str(variant):
+        assert scene.integrator in ("path", "direct"), \
+            "spectral variant covers the surface-path family " \
+            "(volpath runs its own per-channel spectral MIS)"
+        assert not scene.ssub.enabled, \
+            "spectral variant does not support subsurface hooks (RGB-only)"
+        scene = scene.replace(spectral=True)
+    return scene

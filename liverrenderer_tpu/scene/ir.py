@@ -471,6 +471,11 @@ class Scene:
     # is elided at trace time — all liver scenes are delta-surface-only.
     needs_surface_nee: bool = static_field(default=True)
     needs_medium_nee: bool = static_field(default=True)
+    # spectral variant (reference fwd.h:216 *_spectral_* builds): the
+    # surface-path transport carries N_SPEC hero-wavelength samples per
+    # lane, RGB inputs lifted by Smits upsampling (core/spectrum.py),
+    # film converts CIE->sRGB at lane death
+    spectral: bool = static_field(default=False)
 
     # convenience -----------------------------------------------------------
     @property

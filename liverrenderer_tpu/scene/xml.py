@@ -18,12 +18,14 @@ import numpy as np
 from .transform import Transform
 
 
-def load_file(path: str, **overrides):
+def load_file(path: str, variant: str | None = None, **overrides):
     """Parse a Mitsuba XML scene and build it (mi.load_file analog).
-    Keyword args override `<default>` parameter values."""
+    Keyword args override `<default>` parameter values; `variant`
+    selects rgb (default) or spectral transport (builder.load_dict)."""
     from .builder import load_dict
     d = parse_xml(path, overrides)
-    return load_dict(d, base_dir=os.path.dirname(os.path.abspath(path)))
+    return load_dict(d, base_dir=os.path.dirname(os.path.abspath(path)),
+                     variant=variant)
 
 
 def parse_xml(path: str, overrides: Dict[str, Any] | None = None) -> dict:
