@@ -111,3 +111,78 @@ def edge_guided_weights(abs_contrib: Array, e_idx: Array, base_wgt: Array,
     f = jnp.where(m_tot > 0.0, uniform_frac, 1.0)
     return (1.0 - f) * mass / jnp.maximum(m_tot, 1e-30) \
         + f * base_wgt / jnp.maximum(b_tot, 1e-30)
+
+
+# ---------------------------------------------------------------------------
+# Octree guiding over U^3 (the reference OcSpaceDistr, ad/guiding.py:141-568)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class OcSpaceDistr:
+    """Adaptive octree distribution over the unit cube.
+
+    TPU-native redesign of the reference's OcSpace octree: the
+    variable-depth tree is built HOST-side from pilot samples (numpy
+    recursion — construction is inherently sequential) and flattened to a
+    leaf-box table, so device-side sampling is one categorical draw plus
+    a uniform jitter inside the chosen box — no pointer chasing in the
+    compiled program.  A defensive uniform mixture keeps the density
+    positive everywhere (unbiasedness; guiding.py:240 extra_spc)."""
+    leaf_lo: Array      # (L, 3)
+    leaf_hi: Array      # (L, 3)
+    pmf: Array          # (L,)
+    cdf: Array          # (L,)
+
+    def sample(self, u_sel: Array, u3: Array):
+        """u_sel (N,), u3 (N,3) -> (points (N,3), density (N,)) with
+        density relative to the uniform measure on U^3."""
+        i = jnp.clip(jnp.searchsorted(self.cdf, u_sel, side="right"),
+                     0, self.pmf.shape[0] - 1)
+        lo, hi = self.leaf_lo[i], self.leaf_hi[i]
+        p = lo + u3 * (hi - lo)
+        vol = jnp.prod(hi - lo, -1)
+        dens = self.pmf[i] / jnp.maximum(vol, 1e-12)
+        return p, dens
+
+
+def octree_from_samples(points, weights, max_depth: int = 6,
+                        min_frac: float = 0.01, min_count: int = 64,
+                        uniform_mix: float = 0.25) -> OcSpaceDistr:
+    """Build an OcSpaceDistr from pilot (points (P,3) in U^3, |weights|).
+
+    A cell splits while it holds more than `min_frac` of the total mass,
+    at least `min_count` points, and depth < max_depth (the reference's
+    max_leaf_count/extra_spc knobs by intent).  Leaf pmf = (1-mix) *
+    mass/total + mix * volume."""
+    import numpy as np
+
+    pts = np.clip(np.asarray(points, np.float64), 0.0, 1.0 - 1e-9)
+    wts = np.abs(np.asarray(weights, np.float64)).reshape(-1)
+    total = max(wts.sum(), 1e-30)
+    leaves = []
+
+    def rec(lo, hi, idx, depth):
+        mass = wts[idx].sum()
+        if (depth >= max_depth or mass < min_frac * total
+                or idx.size < min_count):
+            leaves.append((lo, hi, mass))
+            return
+        mid = 0.5 * (lo + hi)
+        code = ((pts[idx] >= mid) * np.array([1, 2, 4])).sum(-1)
+        for c in range(8):
+            bits = np.array([c & 1, (c >> 1) & 1, (c >> 2) & 1], bool)
+            clo = np.where(bits, mid, lo)
+            chi = np.where(bits, hi, mid)
+            rec(clo, chi, idx[code == c], depth + 1)
+
+    rec(np.zeros(3), np.ones(3), np.arange(len(pts)), 0)
+    lo = np.asarray([l for l, _, _ in leaves], np.float32)
+    hi = np.asarray([h for _, h, _ in leaves], np.float32)
+    mass = np.asarray([m for _, _, m in leaves], np.float64)
+    vol = np.prod(hi - lo, -1).astype(np.float64)
+    pmf = (1.0 - uniform_mix) * mass / total + uniform_mix * vol
+    pmf = pmf / pmf.sum()
+    return OcSpaceDistr(
+        leaf_lo=jnp.asarray(lo), leaf_hi=jnp.asarray(hi),
+        pmf=jnp.asarray(pmf, jnp.float32),
+        cdf=jnp.asarray(np.cumsum(pmf), jnp.float32))

@@ -237,7 +237,7 @@ def _sil_weights_jit(scene: Scene, Vd: Array, edge_v: Array, edge_f: Array):
 def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
                                 edge_f: Array, delta: Array, seed,
                                 n_samples: int, sil_depth: int,
-                                eps_ang: float = 1e-3):
+                                eps_ang: float = 1e-3, ocs=None):
     """Vertex-position cotangent of the ONE-INDIRECT-BOUNCE visibility
     boundary term: silhouettes seen from the first path vertex z1 (e.g.
     an occluder visible only in a rough-mirror reflection).
@@ -274,6 +274,22 @@ def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
     smp = make_sampler(jnp.arange(n_samples, dtype=jnp.uint32), 0, seed,
                        kind="independent")
     u_pix, smp = smp.next_2d()
+    u_pick, smp = smp.next_1d()
+    u_t, smp = smp.next_1d()
+    if ocs is not None:
+        # octree-guided (pixel.x, pixel.y, edge-pick) primary sample
+        # space (the reference's OcSpaceDistr over 3D guiding domains,
+        # ad/guiding.py:141-568): warp the joint draw through the pilot
+        # octree and divide by its density
+        u_sel, smp = smp.next_1d()
+        prim, dens = ocs.sample(
+            u_sel, jnp.stack([u_pix[:, 0], u_pix[:, 1], u_pick], -1))
+        u_pix = prim[:, 0:2]
+        u_pick = prim[:, 2]
+        inv_dens = 1.0 / jnp.maximum(dens, 1e-12)
+    else:
+        inv_dens = jnp.ones((n_samples,))
+    prim_pts = jnp.stack([u_pix[:, 0], u_pix[:, 1], u_pick], -1)
     pos = u_pix * jnp.array([w, h], jnp.float32)
     ray = sample_ray(scene, pos)
     si = ray_intersect(scene, ray)
@@ -287,8 +303,6 @@ def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
     length = jnp.linalg.norm(p1 - p0, axis=-1)
     total_len = jnp.sum(length)
     cdf = jnp.cumsum(length)
-    u_pick, smp = smp.next_1d()
-    u_t, smp = smp.next_1d()
     e_idx = jnp.clip(jnp.searchsorted(cdf, u_pick * total_len,
                                       side="right"),
                      0, edge_v.shape[0] - 1)
@@ -369,7 +383,7 @@ def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
         + jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
     d_pix = delta.reshape(-1, 3)[pix]
     coeff = jnp.sum(d_pix * bval * dL, -1) * total_len * speed \
-        * (w * h) / n_samples
+        * (w * h) / n_samples * inv_dens
     coeff = jnp.where(jnp.isfinite(coeff), coeff, 0.0)
     coeff = jax.lax.stop_gradient(jnp.where(valid, coeff, 0.0))
     n_bg = jax.lax.stop_gradient(jnp.where(valid[:, None], n_bg, 0.0))
@@ -385,24 +399,45 @@ def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
                           1e-9)
         return jnp.sum(coeff * jnp.sum(tv / nrm * n_bg, -1))
 
-    return jax.grad(S)(V)
+    return jax.grad(S)(V), prim_pts, jnp.abs(coeff) * n_samples
 
 
 def indirect_boundary_gradient(scene: Scene, params, delta_image,
                                seed: int = 0, n_samples: int = 1 << 16,
-                               sil_depth: int = 6):
+                               sil_depth: int = 6,
+                               guiding: str = "octree",
+                               pilot_frac: float = 0.25):
     """dLoss/d(vertices), one-indirect-bounce visibility boundary term
     (occluders seen through a rough reflection/refraction at the first
     hit).  Complements boundary_gradient's primarily-visible term; both
-    are added by render_grad when vertices are differentiated."""
+    are added by render_grad when vertices are differentiated.
+
+    guiding="octree" runs the reference's two-stage scheme over the 3D
+    (pixel.x, pixel.y, edge-pick) primary sample space: a uniform pilot
+    round builds an OcSpaceDistr octree (guiding.octree_from_samples)
+    from per-sample |contribution| and the main round importance-samples
+    it; both rounds are unbiased and count-weighted together."""
     if scene.n_tris == 0 or "vertices" not in params:
         return jnp.zeros_like(scene.vertices)
     sc = apply_params(scene, {k: jax.lax.stop_gradient(v)
                               for k, v in params.items()})
     ev, ef = edge_table(np.asarray(sc.faces), sc.n_tris)
-    return _indirect_boundary_grad_jit(sc, params["vertices"], ev, ef,
-                                       jnp.asarray(delta_image), seed,
-                                       n_samples, sil_depth)
+    delta = jnp.asarray(delta_image)
+    if guiding == "none":
+        g, _, _ = _indirect_boundary_grad_jit(sc, params["vertices"], ev,
+                                              ef, delta, seed, n_samples,
+                                              sil_depth)
+        return g
+    from .guiding import octree_from_samples
+    n_pilot = max(256, int(n_samples * pilot_frac))
+    n_main = max(256, n_samples - n_pilot)
+    g1, pts, mass = _indirect_boundary_grad_jit(
+        sc, params["vertices"], ev, ef, delta, seed, n_pilot, sil_depth)
+    ocs = octree_from_samples(np.asarray(pts), np.asarray(mass))
+    g2, _, _ = _indirect_boundary_grad_jit(
+        sc, params["vertices"], ev, ef, delta, seed + 1, n_main,
+        sil_depth, ocs=ocs)
+    return (n_pilot * g1 + n_main * g2) / (n_pilot + n_main)
 
 
 def boundary_gradient(scene: Scene, params, delta_image, seed: int = 0,
