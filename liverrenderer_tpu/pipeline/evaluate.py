@@ -63,8 +63,13 @@ CONFIGS = {
         "Parenchyma/mitsuba3/scene_temp.xml",
         "Parenchyma/mitsuba3/outputs/Mitsuba/CPU/parenchyma.png",
         None, {"restore_envmap": True, "hide_emitters": False}),
+    # the golden EXR is byte-for-near the shipped scene_temp.exr (mean
+    # diff <2%, 16-spp noise) => it was rendered from scene_temp.xml:
+    # 960x540 @ 16spp, max_depth 12 (NOT scene.xml's 65).  Evaluating
+    # the temp config both matches provenance and avoids the depth-65
+    # programs whose 20-min relay compiles can kill the TPU worker.
     "SphereLiverConstEnv": (
-        "SphereLiverConstEnv/mitsuba3/scene.xml",
+        "SphereLiverConstEnv/mitsuba3/scene_temp.xml",
         "SphereLiverConstEnv/mitsuba3/sphereliverconstenv.exr",
         None, {}),
     "SphereLiverPoint": (
