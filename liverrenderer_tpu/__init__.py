@@ -11,6 +11,17 @@ Facade mirrors the pieces of the `mitsuba` Python API the liver pipeline
 uses: load_dict / load_file / render / cornell_box / traverse / Bitmap-ish IO.
 """
 
+import jax as _jax
+
+# Geometry math must be true fp32: TPU matmuls default to bf16 MXU passes,
+# which quantizes camera-ray directions (sensor/perspective.py `d_cam @
+# R.T`) to an 8-bit mantissa and shifts every silhouette by up to a pixel
+# (found round 4: Liver-MultiMesh TPU-vs-CPU diff was exactly the 1-px
+# silhouette ring, rmse-vs-golden 0.0495 -> 0.002 with this setting).
+# The few matmuls in this renderer are tiny (3x3 frames, 64-wide VAE
+# MLPs); MXU bf16 buys nothing here.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .scene.builder import load_dict
 from .scene.cornell import cornell_box
 from .scene.transform import Transform
