@@ -123,8 +123,17 @@ def atrous_denoise(img, albedo=None, normal=None, variance=None,
             w = k * jnp.exp(-jnp.abs(lum - l_q) / denom_l)
             if normal is not None:
                 n_q = _shift2(normal, sy, sx)
+                # environment pixels carry a ZERO normal (no hit): the
+                # power weight must be neutral for bg<->bg pairs and
+                # blocking for bg<->surface, not zero for everything —
+                # 0^128 = 0 on every tap INCLUDING the center once made
+                # whole env backgrounds divide 0-by-epsilon to black
+                # (Liver-SingleMesh ds4: image mean 0.22 -> 0.05)
+                has_n = jnp.sum(normal * normal, -1) > 1e-6
+                has_q = jnp.sum(n_q * n_q, -1) > 1e-6
                 ndot = jnp.clip(jnp.sum(normal * n_q, -1), 0.0, 1.0)
-                w = w * ndot ** sigma_n
+                w = w * jnp.where(has_n & has_q, ndot ** sigma_n,
+                                  (has_n == has_q).astype(jnp.float32))
             if albedo is not None:
                 a_q = _shift2(albedo, sy, sx)
                 d_a = jnp.sum((albedo - a_q) ** 2, -1)

@@ -83,3 +83,28 @@ def test_atrous_denoiser_beats_bilateral():
     assert e_at < e_bi, (e_bi, e_at)
     # energy preservation: the filter must not destroy firefly energy
     assert abs(den_at.mean() - ref.mean()) / ref.mean() < 0.02
+
+
+def test_denoise_preserves_env_background():
+    """Environment pixels have zero normals (no hit); the normal guide
+    must be neutral for bg<->bg pairs — round-4 fix: 0^128 = 0 on every
+    tap once collapsed whole env backgrounds to black."""
+    import jax.numpy as jnp
+    import numpy as np
+    from liverrenderer_tpu.denoise import atrous_denoise
+
+    rng = np.random.default_rng(0)
+    h = w = 32
+    img = np.full((h, w, 3), 0.7, np.float32)
+    img += rng.normal(0, 0.05, img.shape).astype(np.float32)
+    normal = np.zeros((h, w, 3), np.float32)       # all background
+    normal[8:24, 8:24] = [0, 0, 1]                 # one surface patch
+    albedo = np.full((h, w, 3), 0.5, np.float32)
+    albedo[:8] = 0.0                               # bg rows zero albedo
+    out = np.asarray(atrous_denoise(jnp.asarray(img),
+                                    jnp.asarray(albedo),
+                                    jnp.asarray(normal)))
+    assert np.isfinite(out).all()
+    # background energy preserved (was collapsing to ~0)
+    np.testing.assert_allclose(out[:8].mean(), img[:8].mean(), rtol=0.05)
+    np.testing.assert_allclose(out.mean(), img.mean(), rtol=0.05)
