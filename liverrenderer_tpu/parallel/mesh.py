@@ -181,11 +181,13 @@ def render_regen_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
 
 
 def _local_replay_grad(scene: Scene, params, g_rgb, seed,
-                       pix0, samp0_base, spp: int, tile_pix: int,
+                       pix0, samp0_base, n_valid, spp: int, tile_pix: int,
                        spp_local: int):
     """Per-device body of the sharded replay adjoint: stored forward +
     backward walk over this device's sample chunk, grads psum-merged.
-    g_rgb (d loss / d accumulated-rgb per FILM pixel) is replicated."""
+    g_rgb (d loss / d accumulated-rgb per FILM pixel) is replicated.
+    Devices with index >= n_valid walk a dummy chunk whose gradients are
+    masked out — the ragged-remainder path for spp % n_dev != 0."""
     from ..integrators.prb_replay import (_aux_pool, _detach, _replay_walk)
     from ..integrators.regen import _render_regen_tile
     dev = jax.lax.axis_index(AXIS)
@@ -198,6 +200,8 @@ def _local_replay_grad(scene: Scene, params, g_rgb, seed,
                     samp0, tile_pix * spp_local)
     g = _replay_walk(scene, params, seed, spp, aux, pix0, tile_pix,
                      samp0, spp_local)
+    g = jax.tree_util.tree_map(
+        lambda x: jnp.where(dev < n_valid, x, jnp.zeros_like(x)), g)
     return jax.lax.psum(g, AXIS)
 
 
@@ -212,15 +216,12 @@ def render_grad_replay_sharded(scene: Scene, mesh: Mesh, params,
     storage and replays it backward, psum-ing parameter grads — the
     replay walk is embarrassingly parallel over the path pool, so the
     only collectives per step are the film psum and the grad psum.
-    Requires spp % n_dev == 0 (pad the budget; gradients need every
-    sample walked exactly once)."""
+    Any spp: a remainder r = spp % n_dev runs one masked 1-sample round
+    on the first r devices (the rest walk a dummy chunk whose grads are
+    zeroed), so every sample is walked exactly once."""
     from ..integrators import regen as regen_mod
     from ..integrators import prb_replay as pr
     n_dev = mesh.devices.size
-    if spp % n_dev:
-        raise ValueError(
-            f"sharded replay needs spp % n_devices == 0 (got {spp} over "
-            f"{n_dev}); pad the sample budget")
     w, h = scene.film_w, scene.film_h
     n_pix = w * h
     tile_pix = min(regen_mod.TILE_PIX, n_pix)
@@ -234,26 +235,38 @@ def render_grad_replay_sharded(scene: Scene, mesh: Mesh, params,
 
     # per-device chunk: pools + walk working set must fit alongside the
     # wavefront; mirror the single-chip pool cap per device
+    spp_main = (spp // n_dev) * n_dev
+    r = spp - spp_main
     cap = pr._pool_spp_cap(scene, tile_pix)
-    spp_local = max(1, min(spp // n_dev, cap))
-    while (spp // n_dev) % spp_local != 0:
+    spp_local = max(1, min(max(spp_main // n_dev, 1), cap))
+    while spp_main and (spp_main // n_dev) % spp_local != 0:
         spp_local -= 1
-    n_chunks = spp // (spp_local * n_dev)
+    n_chunks = spp_main // (spp_local * n_dev) if spp_main else 0
 
-    fn = _cached_sharded(
-        ("replay", _mesh_key(mesh), spp, tile_pix, spp_local),
-        lambda: jax.jit(jax.shard_map(
+    def _build(sl):
+        return lambda: jax.jit(jax.shard_map(
             partial(_local_replay_grad, spp=spp, tile_pix=tile_pix,
-                    spp_local=spp_local),
-            mesh=mesh, in_specs=(P(), P(), P(), P(), P(), P()),
-            out_specs=P(), check_vma=False)))
+                    spp_local=sl),
+            mesh=mesh, in_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=P(), check_vma=False))
+
+    mk = _mesh_key(mesh)
+    fn = _cached_sharded(("replay", mk, spp, tile_pix, spp_local),
+                         _build(spp_local))
+    fn_rem = _cached_sharded(("replay", mk, spp, tile_pix, 1),
+                             _build(1)) if r else None
 
     seed = jnp.asarray(seed, jnp.uint32)
     grads = jax.tree_util.tree_map(jnp.zeros_like, params)
     for t in range(n_tiles):
         for c in range(n_chunks):
             g = fn(scene, params, g_rgb, seed, jnp.uint32(t * tile_pix),
-                   jnp.uint32(c * spp_local * n_dev))
+                   jnp.uint32(c * spp_local * n_dev), jnp.int32(n_dev))
+            grads = jax.tree_util.tree_map(jnp.add, grads, g)
+        if r:
+            g = fn_rem(scene, params, g_rgb, seed,
+                       jnp.uint32(t * tile_pix), jnp.uint32(spp_main),
+                       jnp.int32(r))
             grads = jax.tree_util.tree_map(jnp.add, grads, g)
     return loss, grads, image
 

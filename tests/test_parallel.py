@@ -239,11 +239,34 @@ def test_sharded_replay_collectives(fog_scene):
     fn = jax.jit(jax.shard_map(
         functools.partial(_local_replay_grad, spp=16, tile_pix=n_pix,
                           spp_local=2),
-        mesh=mesh, in_specs=(P(), P(), P(), P(), P(), P()), out_specs=P(),
+        mesh=mesh, in_specs=(P(),) * 7, out_specs=P(),
         check_vma=False))
     g_rgb = jnp.zeros((n_pix, 3))
     stats = collective_stats(fn, fog_scene, params, g_rgb, jnp.uint32(0),
-                             jnp.uint32(0), jnp.uint32(0))
+                             jnp.uint32(0), jnp.uint32(0), jnp.int32(8))
     assert "all-reduce" in stats and stats["all-reduce"]["ops"] >= 1
     total = sum(v["ops"] for v in stats.values())
     assert total == stats["all-reduce"]["ops"], stats
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_replay_ragged_spp(fog_scene):
+    """spp % n_dev != 0: the remainder walks as one masked 1-sample round
+    on the first r devices — gradients equal the single-device replay."""
+    import jax.numpy as jnp
+    from liverrenderer_tpu.integrators import prb_replay
+    from liverrenderer_tpu.parallel.mesh import render_grad_replay_sharded
+    mesh = make_mesh(8)
+    params = {"media.params": fog_scene.media.params}
+
+    def loss_fn(img):
+        return jnp.mean(img)
+
+    l1, g1, _ = prb_replay.render_grad_replay(fog_scene, params, loss_fn,
+                                              spp=13, seed=0)
+    l2, g2, _ = render_grad_replay_sharded(fog_scene, mesh, params,
+                                           loss_fn, spp=13, seed=0)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2["media.params"]),
+                               np.asarray(g1["media.params"]),
+                               rtol=1e-4, atol=1e-8)
