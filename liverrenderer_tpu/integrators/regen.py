@@ -145,6 +145,17 @@ EXEC_PATH_BUDGET = 1 << 26
 PROBE_PATHS = 1 << 22
 TARGET_EXEC_S = 18.0
 
+# jobs at or under this path budget run as ONE device execution (no
+# probe, no chunking): every chunk boundary costs a wavefront drain tail
+# plus a host round-trip — measured round 5 on the bench config (6.6M
+# paths), the 2x32spp probe-chunked schedule ran 0.29 s (16%) slower
+# than the single execution (tools/ab_perf_r5.py: 2.018 s vs 1.732 s),
+# which is exactly the r4 0.85x-baseline headline regression.  8.4M
+# paths is ~2 s on v5e for the liver scenes and ~25 s for the heaviest
+# measured scene (SphereLiverConstEnv, ~10x per-path cost) — both safely
+# under the multi-minute TPU watchdog.
+SINGLE_EXEC_PATHS = 1 << 23
+
 # path-pool packing factor (see _render_regen_tile store_paths)
 _POOL_PACK = 8
 
@@ -374,6 +385,16 @@ class RenderControl:
     def cancel(self) -> None:
         self._cancel = True
 
+    def _arm(self) -> None:
+        """Called by render_regen_host at render start: restart the
+        timeout clock and clear a previous render's stop flag so one
+        control object can drive several sequential renders.  An explicit
+        cancel() sticks until the user re-creates or re-arms deliberately
+        (cancelling between renders must cancel the next one too)."""
+        import time
+        self._t0 = time.monotonic()
+        self.stopped = False
+
     def should_stop(self) -> bool:
         import time
         return self._cancel or (
@@ -413,6 +434,8 @@ def render_regen_host(scene: Scene, seed, spp: int,
 
     import numpy as np
 
+    if control is not None:
+        control._arm()
     w, h = scene.film_w, scene.film_h
     n_pix = w * h
     tile_pix = min(TILE_PIX, n_pix)
@@ -420,7 +443,7 @@ def render_regen_host(scene: Scene, seed, spp: int,
     budget_cap = EXEC_PATH_BUDGET if control is None \
         else min(EXEC_PATH_BUDGET, max(tile_pix, n_pix * spp // 4))
     cap_spp = max(1, budget_cap // tile_pix)
-    if n_tiles == 1 and spp * tile_pix <= PROBE_PATHS and control is None:
+    if n_pix * spp <= SINGLE_EXEC_PATHS and control is None:
         return render_regen(scene, seed, spp)
 
     seed_u = jnp.asarray(seed, jnp.uint32)

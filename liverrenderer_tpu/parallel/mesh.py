@@ -165,7 +165,7 @@ def render_regen_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
                              _build(1)) if r else None
 
     seed = jnp.asarray(seed, jnp.uint32)
-    film = np.zeros((n_tiles * tile_pix, 4), np.float32)
+    tiles = []
     for t in range(n_tiles):
         acc = None
         for c in range(n_chunks):
@@ -176,6 +176,14 @@ def render_regen_sharded(scene: Scene, mesh: Mesh, spp: int | None = None,
             tile = fn_rem(scene, seed, jnp.uint32(t * tile_pix),
                           jnp.uint32(spp_main), jnp.int32(r))
             acc = tile if acc is None else acc + tile
+        tiles.append(acc)
+    if n_tiles == 1:
+        # tile_pix == n_pix: the accumulator IS the film — return the
+        # device array directly (a host round-trip per call measurably
+        # inflated the sharded fast path's overhead proxy)
+        return tiles[0].reshape(h, w, 4)
+    film = np.zeros((n_tiles * tile_pix, 4), np.float32)
+    for t, acc in enumerate(tiles):
         film[t * tile_pix:(t + 1) * tile_pix] = np.asarray(acc)
     return jnp.asarray(film[:n_pix].reshape(h, w, 4))
 
@@ -221,6 +229,14 @@ def render_grad_replay_sharded(scene: Scene, mesh: Mesh, params,
     zeroed), so every sample is walked exactly once."""
     from ..integrators import regen as regen_mod
     from ..integrators import prb_replay as pr
+    # configurations outside the replay adjoint's domain (sensor params,
+    # spectral, surface-SSS, non-regen-able scenes) would silently return
+    # zero grads here; the single-device render_grad falls back to the
+    # scan adjoint for them — demand the same routing from the caller
+    assert pr.replay_applicable(scene, params, spp), \
+        "render_grad_replay_sharded: configuration outside the replay " \
+        "adjoint's domain (see prb_replay.replay_applicable) — use the " \
+        "scan adjoint (render_grad) for it"
     n_dev = mesh.devices.size
     w, h = scene.film_w, scene.film_h
     n_pix = w * h
