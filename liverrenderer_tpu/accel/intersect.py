@@ -202,6 +202,81 @@ def _stack_push(stack, sp, val, mask):
 
 
 # ---------------------------------------------------------------------------
+# Instanced shapegroups (non-flattened instancing)
+# ---------------------------------------------------------------------------
+
+def _instances(scene: Scene, ray: Ray, t_best, prim, uu, vv):
+    """Instanced-geometry pass (reference src/shapes/{shapegroup,
+    instance}.cpp): a `lax.scan` over instances; each instance transforms
+    the SHARED group-local triangle stream into world space chunk-by-chunk
+    (a handful of 3-vectors broadcast over all lanes — the same
+    vertex-then-subtract ops the flattening baker performs, so instanced
+    and flattened renders agree to fp32 rounding) and runs the dense
+    Möller-Trumbore sweep.  A per-instance world-AABB test cond-skips the
+    whole chunk loop when no lane can hit.  Hits are encoded
+    prim = n_tris + instance * n_inst_tris + group_tri."""
+    from ..scene.ir import INST_CHUNK
+    n_tris = scene.n_tris
+    Tg = scene.n_inst_tris
+    tris = scene.inst_tris
+    d_safe = jnp.where(jnp.abs(ray.d) < 1e-12,
+                       jnp.where(ray.d >= 0, 1e-12, -1e-12), ray.d)
+    inv_d = 1.0 / d_safe
+    o = ray.o[:, None, :]
+    dd = ray.d[:, None, :]
+
+    def inst_body(carry, xs):
+        t_best, prim, uu, vv = carry
+        xf, start, nch, bmin, bmax, iid = xs
+        M = xf[:12].reshape(3, 4)
+        _, box_hit = _ray_aabb(ray.o, inv_d,
+                               jnp.minimum(ray.maxt, t_best),
+                               bmin[None], bmax[None])
+
+        def sweep(carry):
+            def chunk_body(c, carry2):
+                t_best, prim, uu, vv = carry2
+                off = start + c * INST_CHUNK
+                blk = jax.lax.dynamic_slice(
+                    tris, (off, jnp.int32(0), jnp.int32(0)),
+                    (INST_CHUNK, 3, 3))
+                pw = blk @ M[:, :3].T + M[:, 3]          # (C, 3, 3)
+                p0 = pw[:, 0]
+                e1 = pw[:, 1] - pw[:, 0]
+                e2 = pw[:, 2] - pw[:, 0]
+                t, u, v, hit = _moeller_trumbore(o, dd, p0[None],
+                                                 e1[None], e2[None])
+                hit &= (t < t_best[:, None]) & (t < ray.maxt[:, None]) \
+                    & (c < nch)
+                t_masked = jnp.where(hit, t, INF)
+                j = jnp.argmin(t_masked, axis=1)
+                tj = jnp.take_along_axis(t_masked, j[:, None], 1)[:, 0]
+                better = tj < t_best
+                code = n_tris + iid.astype(jnp.int32) * Tg \
+                    + off.astype(jnp.int32) + j.astype(jnp.int32)
+                prim = jnp.where(better, code, prim)
+                uu = jnp.where(
+                    better, jnp.take_along_axis(u, j[:, None], 1)[:, 0], uu)
+                vv = jnp.where(
+                    better, jnp.take_along_axis(v, j[:, None], 1)[:, 0], vv)
+                t_best = jnp.where(better, tj, t_best)
+                return t_best, prim, uu, vv
+
+            return jax.lax.fori_loop(0, scene.inst_max_chunks, chunk_body,
+                                     carry)
+
+        carry = jax.lax.cond(jnp.any(box_hit), sweep, lambda c: c, carry)
+        return carry, None
+
+    xs = (scene.inst_xf, scene.inst_face_start, scene.inst_n_chunks,
+          scene.inst_bmin, scene.inst_bmax,
+          jnp.arange(scene.n_instances, dtype=jnp.int32))
+    (t_best, prim, uu, vv), _ = jax.lax.scan(
+        inst_body, (t_best, prim, uu, vv), xs)
+    return t_best, prim, uu, vv
+
+
+# ---------------------------------------------------------------------------
 # Analytic spheres
 # ---------------------------------------------------------------------------
 
@@ -382,6 +457,8 @@ def ray_intersect_preliminary(scene: Scene, ray: Ray):
     t_best = jnp.minimum(t_best, INF)
     strat = _tri_strategy(scene)
     t_best, prim, uu, vv = strat(scene, ray, t_best, any_hit=False)
+    if scene.n_instances:
+        t_best, prim, uu, vv = _instances(scene, ray, t_best, prim, uu, vv)
     t_best, sph = _spheres(scene, ray, t_best)
     if scene.n_sdfs:
         t_best, sdf = _sdfs(scene, ray, t_best)
@@ -413,7 +490,11 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     v = jnp.where(hit_tri & jnp.isfinite(v), v, 0.0)
     t = jnp.where(hit & jnp.isfinite(t), t, 1.0)
 
-    prim_s = jnp.maximum(prim, 0)
+    # instanced hits arrive encoded prim = n_tris + inst*Tg + group_tri
+    # (accel _instances); decode the lane's (instance, group-tri) pair
+    is_inst = hit_tri & (prim >= scene.n_tris) if scene.n_instances \
+        else jnp.zeros_like(hit_tri)
+    prim_s = jnp.clip(prim, 0, max(scene.n_tris - 1, 0))
     # single packed gather per lane (see Scene.tri_si)
     row = scene.tri_si[prim_s]
     p0 = row[:, 0:3]
@@ -425,10 +506,50 @@ def compute_si(scene: Scene, ray: Ray, t, prim, u, v, sph) -> SurfaceInteraction
     # si.p/ns/uv — and so the Pallas kernel (which carries only (t, prim)
     # through its reduction) gets barycentrics at all
     tt, uu2, vv2, hh = _moeller_trumbore(ray.o, ray.d, p0, e1, e2)
-    ok = hit_tri & hh
+    ok = hit_tri & ~is_inst & hh
     u = jnp.where(ok, uu2, u)
     v = jnp.where(ok, vv2, v)
     t = jnp.where(ok, tt, t)
+    if scene.n_instances:
+        # group-local row + instance transform (two gathers per lane,
+        # once per bounce — same budget class as the tri_si row); the
+        # transform-then-subtract ordering matches the flattening baker
+        code = jnp.maximum(prim - scene.n_tris, 0)
+        iid = code // scene.n_inst_tris
+        gtri = code % scene.n_inst_tris
+        irow = scene.inst_si[gtri]
+        xf = scene.inst_xf[iid]
+        M = xf[:, :12].reshape(-1, 3, 4)
+        Nm = xf[:, 12:21].reshape(-1, 3, 3)
+
+        def xform_p(pl):
+            return jnp.einsum("nij,nj->ni", M[:, :, :3], pl) + M[:, :, 3]
+
+        ip0 = xform_p(irow[:, 0:3])
+        ie1 = xform_p(irow[:, 3:6]) - ip0
+        ie2 = xform_p(irow[:, 6:9]) - ip0
+        itt, iu, iv, ihh = _moeller_trumbore(ray.o, ray.d, ip0, ie1, ie2)
+        iok = is_inst & ihh
+        u = jnp.where(iok, iu, u)
+        v = jnp.where(iok, iv, v)
+        t = jnp.where(iok, itt, t)
+        p0 = jnp.where(is_inst[:, None], ip0, p0)
+        e1 = jnp.where(is_inst[:, None], ie1, e1)
+        e2 = jnp.where(is_inst[:, None], ie2, e2)
+
+        def xform_n(nl):
+            out = jnp.einsum("nij,nj->ni", Nm, nl)
+            return out / jnp.maximum(m.norm(out), 1e-20)[:, None]
+
+        in0 = xform_n(irow[:, 9:12])
+        in1 = xform_n(irow[:, 12:15])
+        in2 = xform_n(irow[:, 15:18])
+        # splice the instanced lanes' per-vertex data into the row so the
+        # shared interpolation below covers both cases
+        row = jnp.where(
+            is_inst[:, None],
+            jnp.concatenate([ip0, ie1, ie2, in0, in1, in2,
+                             irow[:, 18:25]], -1), row)
     w = 1.0 - u - v
     p_tri = p0 + e1 * u[:, None] + e2 * v[:, None]
     ng_tri = m.normalize(jnp.cross(e1, e2))

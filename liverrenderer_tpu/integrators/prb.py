@@ -112,8 +112,13 @@ def render_grad(scene: Scene, params: Dict[str, Array], loss_fn: Callable,
         loss, grads, image = out
         delta = jax.grad(lambda im: loss_fn(im))(image)
         g_b = boundary_gradient(scene, params, delta, seed=seed + 7)
+        # indirect silhouettes at interior vertices: sample the prefix
+        # depth up to 3 bounces (capped by the transport depth) — the
+        # reference PSIntegrator's (pixel^2, depth) boundary domain
         g_i = indirect_boundary_gradient(scene, params, delta,
-                                         seed=seed + 13)
+                                         seed=seed + 13,
+                                         depth_max=max(
+                                             1, min(3, scene.max_depth - 2)))
         grads = dict(grads)
         grads["vertices"] = grads["vertices"] + g_b + g_i
         out = (loss, grads, image)

@@ -233,37 +233,43 @@ def _sil_weights_jit(scene: Scene, Vd: Array, edge_v: Array, edge_f: Array):
     return silhouette_weights(scene, Vd, edge_v, edge_f)[0]
 
 
-@partial(jax.jit, static_argnames=("n_samples", "sil_depth"))
+@partial(jax.jit, static_argnames=("n_samples", "sil_depth", "depth_max"))
 def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
                                 edge_f: Array, delta: Array, seed,
                                 n_samples: int, sil_depth: int,
-                                eps_ang: float = 1e-3, ocs=None):
-    """Vertex-position cotangent of the ONE-INDIRECT-BOUNCE visibility
-    boundary term: silhouettes seen from the first path vertex z1 (e.g.
-    an occluder visible only in a rough-mirror reflection).
+                                eps_ang: float = 1e-3, ocs=None,
+                                depth_max: int = 1):
+    """Vertex-position cotangent of the INDIRECT visibility boundary
+    term: silhouettes seen from an interior path vertex z_d (e.g. an
+    occluder visible only in a rough-mirror reflection, or only after a
+    chain of bounces).
 
     TPU-native analog of the reference's indirect projective phase
     (ad/projective.py:614-833 ProjectOperation + common.py:786+
     PSIntegrator indirect boundary sampling + prb_projective.py:8): the
-    boundary now lives in the DIRECTION domain at z1,
+    boundary lives in the DIRECTION domain at z_d,
 
-        dI_pix/dtheta = oint f(z1, w) dL(w) (dw_sil/dtheta . n_hat) dl_w
+        dI_pix/dtheta = oint beta_d f(z_d, w) dL(w)
+                             (dw_sil/dtheta . n_hat) dl_w
 
-    with f the BSDF at z1 (cosine included) and dl_w angular arc length.
-    Instead of the reference's seed-ray projection search (a per-lane
-    walk to the nearest silhouette, dr.switch over shapes), each lane
-    JOINTLY samples (pixel, edge point): the camera ray fixes z1, the
-    edge point fixes the direction — one fused wavefront program, the
-    same shape every iteration.  Limitations (documented): one indirect
-    bounce (z1 = first hit), and delta BSDFs at z1 evaluate to zero —
-    perfectly specular chains need the reference's attached reparam,
-    rough chains (the practical mirror: roughconductor) are covered.
+    with beta_d the path throughput of the sampled prefix, f the BSDF at
+    z_d (cosine included) and dl_w angular arc length.  Instead of the
+    reference's seed-ray projection search (a per-lane walk to the
+    nearest silhouette, dr.switch over shapes), each lane JOINTLY samples
+    (pixel, prefix depth, edge point): the camera ray plus a BSDF-sampled
+    prefix walk of depth d ~ U{1..depth_max} fixes z_d (the reference's
+    (pixel^2, depth) boundary sample space), the edge point fixes the
+    direction — one fused wavefront program, the same shape every
+    iteration.  Delta BSDFs ALONG the prefix are fine (the walk samples
+    them); a delta BSDF AT z_d evaluates to zero — perfectly specular
+    final segments need the reference's attached reparam, rough chains
+    (the practical mirror: roughconductor) are covered.
     """
     from ..sensor.perspective import sample_ray
     from .common import _integrator_sample
     from .shading import shading_frame_with_bump
     from ..accel.intersect import ray_intersect
-    from ..bsdf.dispatch import bsdf_eval_pdf
+    from ..bsdf.dispatch import bsdf_eval_pdf, bsdf_sample
     from ..core import math as m
 
     w, h = scene.film_w, scene.film_h
@@ -294,8 +300,55 @@ def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
     ray = sample_ray(scene, pos)
     si = ray_intersect(scene, ray)
     si = shading_frame_with_bump(scene, si, ray)
-    bsdf_idx = m.table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
     prefix_ok = si.valid
+    beta = jnp.ones((n_samples, 3))
+    if depth_max > 1:
+        # ---- arbitrary-depth prefix: extend the camera hit by a BSDF-
+        # sampled walk to z_d, d ~ U{1..depth_max} (uniform depth pdf
+        # 1/depth_max -> the estimator multiplies by depth_max below).
+        # The walk is a bounded masked fori_loop: lane l extends while
+        # k < d_l - 1 and the walk stays on surfaces ----
+        u_d, smp = smp.next_1d()
+        depth_t = 1 + jnp.floor(u_d * depth_max).astype(jnp.int32)
+        depth_t = jnp.clip(depth_t, 1, depth_max)
+
+        def pf_body(k, carry):
+            si_c, beta_c, alive_c, smp_c = carry
+            u1, smp_c = smp_c.next_1d()
+            u2, smp_c = smp_c.next_1d()
+            extend = alive_c & (k < depth_t - 1)
+            bidx = m.table_lookup(scene.shape_bsdf,
+                                  jnp.maximum(si_c.shape, 0))
+            bs = bsdf_sample(scene, si_c, bidx, u1, u2)
+            d_w = si_c.to_world(bs.wo)
+            d_w = d_w / jnp.maximum(
+                jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-12)
+            r2 = si_c.spawn_ray(d_w)
+            si_n = ray_intersect(scene, r2)
+            si_n = shading_frame_with_bump(scene, si_n, r2)
+            wgt = jnp.where(jnp.isfinite(bs.weight), bs.weight, 0.0)
+            good = si_n.valid & (bs.pdf > 0) \
+                & (jnp.max(wgt, -1) > 0)
+            beta_n = jnp.where(extend[:, None], beta_c * wgt, beta_c)
+            def _merge(a, b):
+                # lane-independent fields (e.g. the (1,3) attr default)
+                # are identical in both records — keep them as-is so the
+                # fori carry types stay fixed
+                if a.shape[:1] != extend.shape[:1]:
+                    return b
+                return jnp.where(
+                    extend.reshape(extend.shape + (1,) * (a.ndim - 1)),
+                    a, b)
+
+            si_m = jax.tree_util.tree_map(_merge, si_n, si_c)
+            alive_n = jnp.where(extend, good, alive_c)
+            return si_m, beta_n, alive_n, smp_c
+
+        si, beta, prefix_ok, smp = jax.lax.fori_loop(
+            0, depth_max - 1, pf_body,
+            (si, beta, prefix_ok, smp))
+        beta = beta * depth_max
+    bsdf_idx = m.table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
 
     # ---- edge point, uniform by length over ALL edges (the silhouette
     # set depends on z1, so the test is per-lane below) ----
@@ -382,7 +435,7 @@ def _indirect_boundary_grad_jit(scene: Scene, V: Array, edge_v: Array,
     pix = jnp.clip(pos[:, 1].astype(jnp.int32), 0, h - 1) * w \
         + jnp.clip(pos[:, 0].astype(jnp.int32), 0, w - 1)
     d_pix = delta.reshape(-1, 3)[pix]
-    coeff = jnp.sum(d_pix * bval * dL, -1) * total_len * speed \
+    coeff = jnp.sum(d_pix * beta * bval * dL, -1) * total_len * speed \
         * (w * h) / n_samples * inv_dens
     coeff = jnp.where(jnp.isfinite(coeff), coeff, 0.0)
     coeff = jax.lax.stop_gradient(jnp.where(valid, coeff, 0.0))
@@ -406,11 +459,17 @@ def indirect_boundary_gradient(scene: Scene, params, delta_image,
                                seed: int = 0, n_samples: int = 1 << 16,
                                sil_depth: int = 6,
                                guiding: str = "octree",
-                               pilot_frac: float = 0.25):
-    """dLoss/d(vertices), one-indirect-bounce visibility boundary term
-    (occluders seen through a rough reflection/refraction at the first
-    hit).  Complements boundary_gradient's primarily-visible term; both
-    are added by render_grad when vertices are differentiated.
+                               pilot_frac: float = 0.25,
+                               depth_max: int = 1):
+    """dLoss/d(vertices), indirect visibility boundary term (occluders
+    seen through rough reflections/refractions at interior path
+    vertices).  Complements boundary_gradient's primarily-visible term;
+    both are added by render_grad when vertices are differentiated.
+
+    depth_max: largest prefix depth sampled (d ~ U{1..depth_max}); 1 =
+    the silhouette is viewed from the first hit, >1 walks a BSDF-sampled
+    prefix first (the reference PSIntegrator's arbitrary-depth boundary
+    sampling, prb_projective.py:8 / ad/projective.py:28-190).
 
     guiding="octree" runs the reference's two-stage scheme over the 3D
     (pixel.x, pixel.y, edge-pick) primary sample space: a uniform pilot
@@ -426,17 +485,19 @@ def indirect_boundary_gradient(scene: Scene, params, delta_image,
     if guiding == "none":
         g, _, _ = _indirect_boundary_grad_jit(sc, params["vertices"], ev,
                                               ef, delta, seed, n_samples,
-                                              sil_depth)
+                                              sil_depth,
+                                              depth_max=depth_max)
         return g
     from .guiding import octree_from_samples
     n_pilot = max(256, int(n_samples * pilot_frac))
     n_main = max(256, n_samples - n_pilot)
     g1, pts, mass = _indirect_boundary_grad_jit(
-        sc, params["vertices"], ev, ef, delta, seed, n_pilot, sil_depth)
+        sc, params["vertices"], ev, ef, delta, seed, n_pilot, sil_depth,
+        depth_max=depth_max)
     ocs = octree_from_samples(np.asarray(pts), np.asarray(mass))
     g2, _, _ = _indirect_boundary_grad_jit(
         sc, params["vertices"], ev, ef, delta, seed + 1, n_main,
-        sil_depth, ocs=ocs)
+        sil_depth, ocs=ocs, depth_max=depth_max)
     return (n_pilot * g1 + n_main * g2) / (n_pilot + n_main)
 
 

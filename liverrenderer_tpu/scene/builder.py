@@ -165,6 +165,14 @@ class _Builder:
         self.s_prim_cnt: List[int] = []
         self.s_area: List[float] = []
         self.s_ssub: List[int] = []
+        # instanced shapegroups (src/shapes/{shapegroup,instance}.cpp):
+        # gid -> {start, n_chunks, bmin, bmax}; g_tris/g_si hold the
+        # padded GROUP-LOCAL streams; inst_rows one (M34, Nmat, start,
+        # n_chunks, bmin, bmax) per instance
+        self.groups: Dict[str, dict] = {}
+        self.g_tris: List[np.ndarray] = []
+        self.g_si: List[np.ndarray] = []
+        self.inst_rows: List[tuple] = []
         # subsurface instances: list of param rows + declared dicts
         self.ssub_params: List[np.ndarray] = []
         self.ssub_types: List[int] = []
@@ -1048,6 +1056,97 @@ class _Builder:
         self.s_area.append(area)
         self.s_ssub.append(ssub_idx)
 
+    # --- instanced shapegroups ---------------------------------------------
+    def ensure_group(self, gid: str, group: dict) -> None:
+        """Build a shapegroup's children ONCE into a group-local triangle
+        stream (the BLAS the instanced intersection pass shares across
+        instances — reference shapegroup.cpp builds one Embree scene the
+        same way).  Child shape-table rows (bsdf/media/bump wiring) are
+        appended globally and shared by every instance; only the geometry
+        is diverted into the group stream."""
+        if gid in self.groups:
+            return
+        from .ir import INST_CHUNK
+        # divert the mesh sinks; add_shape's mesh branch then appends the
+        # children into these local lists with a local vertex base
+        saved = (self.vertices, self.faces, self.normals, self.uvs,
+                 self.tangents, self.tri_shape, self.v_count,
+                 getattr(self, "vattr_blocks", None))
+        self.vertices, self.faces, self.normals, self.uvs = [], [], [], []
+        self.tangents, self.tri_shape = [], []
+        self.v_count = 0
+        self.vattr_blocks = []
+        try:
+            for sval in group.values():
+                if isinstance(sval, dict) and sval.get("type") \
+                        in _SHAPE_TYPES:
+                    self.add_shape(sval)
+            V = np.concatenate(self.vertices) if self.vertices \
+                else np.zeros((0, 3), np.float32)
+            F = np.concatenate(self.faces).astype(np.int32) \
+                if self.faces else np.zeros((0, 3), np.int32)
+            Nrm = np.concatenate(self.normals) if self.normals \
+                else np.zeros((0, 3), np.float32)
+            UV = np.concatenate(self.uvs) if self.uvs \
+                else np.zeros((0, 2), np.float32)
+            TS = np.concatenate(self.tri_shape).astype(np.int32) \
+                if self.tri_shape else np.zeros((0,), np.int32)
+        finally:
+            (self.vertices, self.faces, self.normals, self.uvs,
+             self.tangents, self.tri_shape, self.v_count, vb) = saved
+            if vb is None:
+                del self.vattr_blocks
+            else:
+                self.vattr_blocks = vb
+        # the template shapes just added are not in the global prim
+        # stream; their prim_offset/count are meaningless — mark them
+        n_children = len(set(TS.tolist()))
+        for sh in set(TS.tolist()):
+            self.s_prim_off[sh] = -1
+            self.s_prim_cnt[sh] = 0
+        Tg = len(F)
+        pad = (-Tg) % INST_CHUNK
+        p0, p1, p2 = V[F[:, 0]], V[F[:, 1]], V[F[:, 2]]
+        si = np.zeros((Tg + pad, 25), np.float32)
+        si[:Tg, 0:3] = p0
+        si[:Tg, 3:6] = p1
+        si[:Tg, 6:9] = p2
+        si[:Tg, 9:12] = Nrm[F[:, 0]]
+        si[:Tg, 12:15] = Nrm[F[:, 1]]
+        si[:Tg, 15:18] = Nrm[F[:, 2]]
+        si[:Tg, 18:20] = UV[F[:, 0]]
+        si[:Tg, 20:22] = UV[F[:, 1]]
+        si[:Tg, 22:24] = UV[F[:, 2]]
+        si[:Tg, 24] = TS
+        si[Tg:, 24] = -1
+        tris = np.zeros((Tg + pad, 3, 3), np.float32)
+        tris[:Tg] = np.stack([p0, p1, p2], axis=1)
+        start = sum(t.shape[0] for t in self.g_tris)
+        bmin = V.min(0) if len(V) else np.zeros(3, np.float32)
+        bmax = V.max(0) if len(V) else np.zeros(3, np.float32)
+        self.g_tris.append(tris)
+        self.g_si.append(si)
+        self.groups[gid] = {"start": start,
+                            "n_chunks": (Tg + pad) // INST_CHUNK,
+                            "bmin": bmin, "bmax": bmax,
+                            "n_children": n_children}
+
+    def add_instance(self, gid: str, to_world) -> None:
+        """One instance of a built shapegroup: a 3x4 to-world transform
+        row composed inside the intersector (instance.cpp semantics —
+        geometry shared, transform per instance)."""
+        g = self.groups[gid]
+        M = np.asarray(to_world.matrix, np.float64)
+        M34 = M[:3, :4].astype(np.float32)
+        Nm = np.linalg.inv(M[:3, :3]).T.astype(np.float32)
+        corners = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                            for z in (0, 1)], np.float64)
+        c = g["bmin"] + corners * (g["bmax"] - g["bmin"])
+        cw = c @ M[:3, :3].T + M[:3, 3]
+        self.inst_rows.append((M34, Nm, g["start"], g["n_chunks"],
+                               cw.min(0).astype(np.float32),
+                               cw.max(0).astype(np.float32)))
+
     # --- sensor/film --------------------------------------------------------
     def build_sensor(self, d):
         from .ir import (FILTER_CATMULLROM, FILTER_LANCZOS, FILTER_MITCHELL,
@@ -1391,6 +1490,8 @@ class _Builder:
             corners = np.array([[x, y, z, 1.0] for x in (0, 1)
                                 for y in (0, 1) for z in (0, 1)], np.float32)
             pts.append((corners @ M.T)[:, :3])
+        for r in self.inst_rows:
+            pts.append(np.stack([r[4], r[5]]))
         allp = np.concatenate(pts)
         bc = 0.5 * (allp.min(0) + allp.max(0))
         br = float(np.linalg.norm(allp - bc, axis=1).max()) if len(allp) \
@@ -1568,6 +1669,31 @@ class _Builder:
             needs_surface_nee=needs_surface_nee,
             needs_medium_nee=needs_medium_nee,
         )
+        if self.inst_rows:
+            inst_tris = np.concatenate(self.g_tris)
+            inst_si = np.concatenate(self.g_si)
+            xf = np.stack([np.concatenate([m.reshape(12), n.reshape(9)])
+                           for (m, n, *_r) in self.inst_rows])
+            starts = np.asarray([r[2] for r in self.inst_rows], np.int32)
+            nchunks = np.asarray([r[3] for r in self.inst_rows], np.int32)
+            ibmin = np.stack([r[4] for r in self.inst_rows])
+            ibmax = np.stack([r[5] for r in self.inst_rows])
+            n_inst = len(self.inst_rows)
+            # instanced hits are encoded prim = n_tris + inst*Tg + gtri
+            assert n_inst * inst_tris.shape[0] \
+                < 2 ** 31 - max(n_tris_real, 1), \
+                "instanced prim encoding exceeds int32"
+            scene = scene.replace(
+                inst_tris=jnp.asarray(inst_tris),
+                inst_si=jnp.asarray(inst_si),
+                inst_xf=jnp.asarray(xf),
+                inst_face_start=jnp.asarray(starts),
+                inst_n_chunks=jnp.asarray(nchunks),
+                inst_bmin=jnp.asarray(ibmin),
+                inst_bmax=jnp.asarray(ibmax),
+                n_instances=n_inst,
+                n_inst_tris=int(inst_tris.shape[0]),
+                inst_max_chunks=int(nchunks.max()))
         if ssub_table.has_dipole:
             scene = _dipole_preprocess(scene, self, V, F)
         return scene
@@ -1711,8 +1837,38 @@ def _dipole_preprocess(scene: Scene, b: "_Builder", V, F) -> Scene:
         dip_area=jnp.asarray(area), dip_consts=jnp.asarray(consts)))
 
 
+# shape types the instanced (non-flattened) shapegroup path supports:
+# anything that tessellates to a triangle mesh.  Analytic spheres, SDF
+# grids, curves and ellipsoid splats keep the flattened fallback (their
+# primitive tables are global, not group-local).
+_INSTANCEABLE_TYPES = ("rectangle", "cube", "disk", "cylinder", "obj",
+                       "ply", "serialized", "mesh", "blender")
+
+
+def _group_instanceable(group: dict) -> bool:
+    """True when every child of a shapegroup can run the non-flattened
+    instanced path: mesh-only geometry, no emitters (area emitters need
+    per-instance world geometry in the sampling tables — reference
+    shapegroup.cpp likewise rejects emitters inside groups)."""
+    for sval in group.values():
+        if not isinstance(sval, dict):
+            continue
+        t = sval.get("type")
+        if t == "shapegroup":
+            continue
+        if t in _SHAPE_TYPES and t not in _INSTANCEABLE_TYPES:
+            return False
+        if t in _SHAPE_TYPES:
+            for k, v in sval.items():
+                if k == "emitter" or (isinstance(v, dict)
+                                      and v.get("type") == "area"):
+                    return False
+    return True
+
+
 def load_dict(d: Dict[str, Any], base_dir: str = ".",
-              variant: str | None = None) -> Scene:
+              variant: str | None = None,
+              flatten_instances: bool = False) -> Scene:
     """Build a Scene from a Mitsuba-style dict (mi.load_dict equivalent).
 
     variant: None/"rgb" (default) or "spectral" — the mi.set_variant
@@ -1720,7 +1876,11 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".",
     dict key {"variant": "spectral"}.  Spectral covers the surface-path
     family (RGB inputs lifted via Smits upsampling, core/spectrum.py);
     volumetric/bio transport keeps its own per-channel spectral-MIS
-    scheme, and SSS hooks are RGB-only."""
+    scheme, and SSS hooks are RGB-only.
+
+    flatten_instances: force the old geometry-replication path for
+    shapegroup instances (testing/comparison; the default shares one
+    group-local stream across instances, O(1) geometry memory)."""
     assert d.get("type") == "scene", "top-level dict must be a scene"
     variant = variant or d.get("variant")
     b = _Builder(base_dir=base_dir)
@@ -1793,20 +1953,28 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".",
                 if isinstance(sval, dict) and sval.get("type") in _SHAPE_TYPES:
                     b.add_shape(sval)
         elif t == "instance":
-            # flattened instancing (src/shapes/{shapegroup,instance}.cpp):
-            # replicate the group's shapes with the composed transform
             gid = next(v["id"] for v in val.values()
                        if isinstance(v, dict) and v.get("type") == "ref")
             group = shapegroups[gid]
             inst_tw = from_any(val["to_world"]) if "to_world" in val \
                 else Transform()
-            for sval in group.values():
-                if isinstance(sval, dict) and sval.get("type") in _SHAPE_TYPES:
-                    child = dict(sval)
-                    child_tw = from_any(child["to_world"]) \
-                        if "to_world" in child else Transform()
-                    child["to_world"] = inst_tw.matmul(child_tw)
-                    b.add_shape(child)
+            if not flatten_instances and _group_instanceable(group):
+                # non-flattened: ONE group-local BLAS shared by every
+                # instance + a per-instance transform row composed in the
+                # intersector (shapegroup.cpp/instance.cpp semantics)
+                b.ensure_group(gid, group)
+                b.add_instance(gid, inst_tw)
+            else:
+                # flattened fallback (analytic/emissive group children):
+                # replicate the group's shapes with the composed transform
+                for sval in group.values():
+                    if isinstance(sval, dict) \
+                            and sval.get("type") in _SHAPE_TYPES:
+                        child = dict(sval)
+                        child_tw = from_any(child["to_world"]) \
+                            if "to_world" in child else Transform()
+                        child["to_world"] = inst_tw.matmul(child_tw)
+                        b.add_shape(child)
         elif t in _EMITTER_TYPES:
             b.build_emitter(val)
 

@@ -79,6 +79,10 @@ SHAPE_MESH = 0
 SHAPE_SPHERE = 1
 SHAPE_SDF = 2
 
+# triangles per block of the instanced-geometry intersection pass; group
+# streams are zero-padded to a multiple of this (degenerate tris never hit)
+INST_CHUNK = 128
+
 FILTER_BOX = 0
 FILTER_GAUSSIAN = 1
 FILTER_TENT = 2
@@ -428,6 +432,34 @@ class Scene:
         default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
     measured: MeasuredTable = struct.field(default_factory=MeasuredTable)
     volprims: VolPrims = struct.field(default_factory=_empty_volprims)
+    # ------------- instanced geometry (shapegroup/instance) -------------
+    # Non-flattened instancing (reference src/shapes/{shapegroup,
+    # instance}.cpp): each shapegroup's triangle stream is stored ONCE in
+    # GROUP-LOCAL space; instances are 3x4 to-world transforms composed
+    # inside the intersector (geometry memory is O(group + n_instances),
+    # not O(group * n_instances)).  TPU-first layout: the per-instance
+    # pass transforms the shared TRIANGLES into world space chunk-by-chunk
+    # (broadcast over lanes, a handful of 3-vectors per chunk) instead of
+    # transforming every ray into instance space — the same vertex-then-
+    # subtract float ops the flattening baker performs, so instanced and
+    # flattened renders agree to fp32 rounding.
+    inst_tris: Array = struct.field(          # (Tg, 3, 3) local p0,p1,p2
+        default_factory=lambda: jnp.zeros((1, 3, 3), jnp.float32))
+    inst_si: Array = struct.field(            # (Tg, 25) local si rows:
+        # p0 p1 p2 n0 n1 n2 uv0 uv1 uv2 shape (NOT e1/e2 — world-space
+        # edges are formed after the per-lane instance transform)
+        default_factory=lambda: jnp.zeros((1, 25), jnp.float32))
+    inst_xf: Array = struct.field(            # (I, 21): to-world 3x4
+        # row-major [0:12] + inverse-transpose 3x3 row-major [12:21]
+        default_factory=lambda: jnp.zeros((1, 21), jnp.float32))
+    inst_face_start: Array = struct.field(    # (I,) first tri (chunk-
+        default_factory=lambda: jnp.zeros((1,), jnp.int32))  # aligned)
+    inst_n_chunks: Array = struct.field(      # (I,) tri chunks in group
+        default_factory=lambda: jnp.zeros((1,), jnp.int32))
+    inst_bmin: Array = struct.field(          # (I, 3) world AABB
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
+    inst_bmax: Array = struct.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32))
     # SDF grid shapes (reference src/shapes/sdfgrid.cpp): signed-distance
     # values on a [0,1]^3-local grid, sphere-traced in the intersector
     sdf_grids: Array = struct.field(          # (K, D, H, W) padded
@@ -443,6 +475,12 @@ class Scene:
     n_tris: int = static_field(default=0)
     n_spheres: int = static_field(default=0)
     n_sdfs: int = static_field(default=0)
+    # instancing statics: instance count, total padded group-stream tris,
+    # and the largest group's chunk count (the instanced pass's inner
+    # loop bound)
+    n_instances: int = static_field(default=0)
+    n_inst_tris: int = static_field(default=0)
+    inst_max_chunks: int = static_field(default=0)
     film_w: int = static_field(default=256)
     film_h: int = static_field(default=256)
     rfilter: int = static_field(default=FILTER_GAUSSIAN)

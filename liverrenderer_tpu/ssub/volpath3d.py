@@ -59,19 +59,29 @@ def _poly_crossing(coeffs, p0, d, t_max):
 
 
 def sample_paths(coeffs, entry_p, entry_d, sigma_t, albedo, g, sampler,
-                 max_bounces: int = 256):
+                 max_bounces: int = 256, eta: float = 1.0):
     """Random-walk N packets through the homogeneous medium bounded by the
     implicit surface f(x) = 0 (inside f < 0).
 
     coeffs: (20,) or (N, 20) degree-3 polynomial; entry_p/entry_d: (N, 3)
     world-frame entry points/directions (entry_d pointing inside);
-    sigma_t/albedo/g scalars.  Returns (WalkResult, sampler).
+    sigma_t/albedo/g/eta scalars.  Returns (WalkResult, sampler).
+
+    eta != 1 enables INTERNAL FRESNEL RE-ENTRY at the boundary — the
+    reference tracer's exit handling (sss_particle_tracer.h:202-215):
+    a walker reaching the surface reflects back inside with probability
+    F(cos_theta_i, eta) and otherwise exits REFRACTED; with eta == 1
+    every boundary crossing exits straight through (F == 0), bitwise the
+    historical behavior except for one extra (unused) RNG draw.
     """
     n = entry_p.shape[0]
     if coeffs.ndim == 1:
         coeffs = jnp.broadcast_to(coeffs, (n,) + coeffs.shape)
     sigma_t = jnp.asarray(sigma_t, jnp.float32)
     march_span = 12.0 / sigma_t        # covers ~12 mean free paths
+    from ..core.fresnel import fresnel_dielectric
+    from ..core import math as cm
+    from .poly import eval_poly_grad, onb_duff
 
     st = dict(
         p=entry_p, d=entry_d,
@@ -93,28 +103,60 @@ def sample_paths(coeffs, entry_p, entry_d, sigma_t, albedo, g, sampler,
         u2, sampler = sampler.next_2d()
         ua, sampler = sampler.next_1d()
 
+        uf, sampler = sampler.next_1d()
+
         # free flight
         t_free = -jnp.log(jnp.maximum(1.0 - u1, 1e-9)) / sigma_t
         # surface crossing before the collision?
         t_surf, found = _poly_crossing(coeffs, st["p"], st["d"],
                                        jnp.minimum(t_free, march_span))
-        exits = st["alive"] & found & (t_surf <= t_free)
-        out_p = jnp.where(exits[:, None],
-                          st["p"] + t_surf[:, None] * st["d"], st["out_p"])
-        out_d = jnp.where(exits[:, None], st["d"], st["out_d"])
+        reaches = st["alive"] & found & (t_surf <= t_free)
+        p_hit = st["p"] + t_surf[:, None] * st["d"]
+
+        # internal Fresnel at the boundary (sss_particle_tracer.h:202-215):
+        # outward normal = grad f (inside is f < 0); the local frame is
+        # (b1, b2, n_out); wi points away from the surface (back inside)
+        n_out = eval_poly_grad(coeffs, p_hit)
+        n_out = n_out / jnp.maximum(
+            jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-12)
+        b1, b2 = onb_duff(n_out)
+        wi_l = jnp.stack([jnp.sum(-st["d"] * b1, -1),
+                          jnp.sum(-st["d"] * b2, -1),
+                          jnp.sum(-st["d"] * n_out, -1)], -1)
+        F, ctt, _, eta_ti = fresnel_dielectric(wi_l[..., 2], eta)
+        re_enter = reaches & (uf < F)
+        exits = reaches & ~re_enter
+        refl_l = cm.reflect(wi_l)
+        refr_l = cm.refract_local(wi_l, ctt, eta_ti)
+
+        def to_world(v):
+            return v[..., 0:1] * b1 + v[..., 1:2] * b2 \
+                + v[..., 2:3] * n_out
+
+        d_refl = to_world(refl_l)
+        d_refr = to_world(refr_l)
+        out_p = jnp.where(exits[:, None], p_hit, st["out_p"])
+        out_d = jnp.where(exits[:, None], d_refr, st["out_d"])
+        # re-entering walkers restart just inside the boundary
+        p_re = p_hit - n_out * (1e-3 / sigma_t)
 
         # collision: absorb or scatter (HG)
-        collides = st["alive"] & ~exits
+        collides = st["alive"] & ~reaches
         absorb = collides & (ua >= albedo)
         p_new = st["p"] + jnp.minimum(t_free, march_span)[:, None] * st["d"]
         ptype = jnp.full((n,), PHASE_HG, jnp.int32)
         gl = jnp.full((n,), g, jnp.float32)
         d_new, _, _ = phase_sample(ptype, gl, st["d"], u2)
 
-        alive = collides & ~absorb
+        alive = (collides & ~absorb) | re_enter
+        p_next = jnp.where(re_enter[:, None], p_re,
+                           jnp.where(collides[:, None], p_new, st["p"]))
+        d_next = jnp.where(re_enter[:, None], d_refl,
+                           jnp.where((collides & ~absorb)[:, None],
+                                     d_new, st["d"]))
         return dict(
-            p=jnp.where(collides[:, None], p_new, st["p"]),
-            d=jnp.where(alive[:, None], d_new, st["d"]),
+            p=p_next,
+            d=d_next,
             alive=alive,
             absorbed=st["absorbed"] | absorb,
             exited=st["exited"] | exits,

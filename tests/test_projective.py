@@ -12,9 +12,9 @@ import numpy as np
 import pytest
 
 import liverrenderer_tpu as lr
-from liverrenderer_tpu.integrators.projective import (boundary_gradient,
-                                                      edge_table,
-                                                      project_to_film)
+from liverrenderer_tpu.integrators.projective import (
+    boundary_gradient, edge_table, indirect_boundary_gradient,
+    project_to_film)
 from liverrenderer_tpu.scene.builder import load_dict
 
 
@@ -309,3 +309,77 @@ def test_octree_guided_indirect_matches_uniform():
         assert 0.3 < no / nu < 3.0, (nu, no)
         corr = float((g_u * g_o).sum() / (nu * no))
         assert corr > 0.5, corr
+
+
+def _two_mirror_scene(res=24, alpha=0.08):
+    """Occluder silhouette visible ONLY after TWO bounces: camera ->
+    45-degree rough mirror A -> rough mirror B -> dark quad floating over
+    B against the bright environment.  The reference PSIntegrator samples
+    boundary segments at arbitrary path depth (prb_projective.py:8,
+    ad/projective.py:28-190); depth_max=1 cannot see this silhouette."""
+    return load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 5},
+        "sensor": {
+            "type": "perspective", "fov": 45.0,
+            "to_world": lr.Transform().look_at([0, 0, 2.0], [0, 0, -1.0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": res, "height": res,
+                     "rfilter": {"type": "box"}},
+        },
+        "mirrorA": {"type": "rectangle",
+                    "to_world": lr.Transform().translate([0, 0, -1.0])
+                    .rotate([0, 1, 0], 45).scale(2.5),
+                    "bsdf": {"type": "roughconductor", "material": "Al",
+                             "alpha": alpha}},
+        "mirrorB": {"type": "rectangle",
+                    "to_world": lr.Transform().translate([3.0, 0, -1.0])
+                    .rotate([0, 1, 0], -45).scale(2.0),
+                    "bsdf": {"type": "roughconductor", "material": "Al",
+                             "alpha": alpha}},
+        "occ": {"type": "rectangle",
+                "to_world": lr.Transform().translate([3.0, 0, 2.5])
+                .scale(0.4),
+                "bsdf": {"type": "diffuse",
+                         "reflectance": {"type": "rgb",
+                                         "value": [0.02] * 3}}},
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [2.0] * 3}},
+    })
+
+
+def test_deep_indirect_occluder_gradient_vs_fd():
+    """Arbitrary-depth projective gradients (VERDICT r4 #7): growing the
+    occluder's right edge covers more bright environment in the DOUBLE
+    reflection.  depth_max=2 must match correlated FD; depth_max=1 sees
+    only a small leakage fraction (the silhouette needs two bounces)."""
+    scene = _two_mirror_scene()
+    V = np.asarray(scene.vertices)
+    sel = (np.abs(V[:, 2] - 2.5) < 1e-4) & (V[:, 0] > 3.2)
+    assert sel.sum() == 2
+    mask = np.zeros_like(V)
+    mask[sel, 0] = 1.0
+    mask = jnp.asarray(mask)
+
+    h, w = scene.film_h, scene.film_w
+    delta = jnp.ones((h, w, 3)) / (h * w * 3)     # d(mean image)/dI
+    params = {"vertices": scene.vertices}
+    g2 = indirect_boundary_gradient(scene, params, delta, seed=3,
+                                    n_samples=1 << 15, guiding="none",
+                                    depth_max=2)
+    g2_x = float(jnp.sum(g2 * mask))
+    g1 = indirect_boundary_gradient(scene, params, delta, seed=3,
+                                    n_samples=1 << 15, guiding="none",
+                                    depth_max=1)
+    g1_x = float(jnp.sum(g1 * mask))
+
+    eps = 0.15
+    def loss_at(d):
+        sc = lr.apply_params(scene,
+                             {"vertices": scene.vertices + d * mask})
+        return float(jnp.mean(lr.render(sc, spp=256, seed=11)))
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    assert fd < -0.01                  # the deep silhouette moves the loss
+    np.testing.assert_allclose(g2_x, fd, rtol=0.35)
+    # the one-bounce estimator misses most of it
+    assert abs(g1_x) < 0.45 * abs(fd)

@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 SCENES_DIR = "/root/reference/scenes"
 
 
-def run_scene(name, ds, chunk, n_chunks, variant=None):
+def run_scene(name, ds, chunk, n_chunks, variant=None, seed_base=100):
     import liverrenderer_tpu as lr
     from liverrenderer_tpu.pipeline.evaluate import CONFIGS, _load_scene
     from liverrenderer_tpu.pipeline.results import rmse, ssim
@@ -55,7 +55,7 @@ def run_scene(name, ds, chunk, n_chunks, variant=None):
     curve = []
     t_start = time.time()
     for i in range(n_chunks):
-        img = np.asarray(lr.render(scene, spp=chunk, seed=100 + i),
+        img = np.asarray(lr.render(scene, spp=chunk, seed=seed_base + i),
                          np.float64)
         acc += img
         mean = acc / (i + 1)
@@ -86,6 +86,8 @@ def main():
                     help="JSON opts override, e.g. "
                          "'{\"integrator\": \"biovolpath06\"}'")
     ap.add_argument("--tag", default=None, help="suffix for the result key")
+    ap.add_argument("--seed-base", type=int, default=100,
+                    help="first RNG seed (seed spread studies)")
     a = ap.parse_args()
 
     variant = json.loads(a.variant) if a.variant else None
@@ -96,7 +98,8 @@ def main():
     for name in a.scenes.split(","):
         key = name + (f"+{a.tag}" if a.tag else "")
         print(f"== {key} ==", flush=True)
-        out[key] = run_scene(name, a.ds, a.chunk, a.chunks, variant)
+        out[key] = run_scene(name, a.ds, a.chunk, a.chunks, variant,
+                             seed_base=a.seed_base)
         with open(a.out, "w") as f:
             json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

@@ -132,7 +132,7 @@ def run_point(sigma_t, albedo, g, eta, n=8192, seed=0):
                            * (1.0 - 1e-5))
     res, _ = volpath3d.sample_paths(sphere_coeffs(), entry_gt, dd,
                                     sigma_t, albedo, g, sampler2,
-                                    max_bounces=512)
+                                    max_bounces=512, eta=eta)
     scat = np.asarray(res.n_bounces) >= 1
     absorbed = np.asarray(res.absorbed)
     exited = np.asarray(res.exited) & scat & ~absorbed
