@@ -65,7 +65,13 @@ def _finalize_L(scene: Scene, st):
     Spectral lanes convert their wavelength packet to RGB here, so the
     film/pool stay 3-channel."""
     if hasattr(st, "env_weight"):
-        return st.L + st.env_weight * eval_environment(scene, st.ray_d)
+        env = eval_environment(scene, st.ray_d)
+        if scene.spectral:
+            from ..core import spectrum as spec
+            env = spec.smits_upsample_illum(env, st.lam)
+            return spec.spec_to_rgb_estimate(
+                st.L + st.env_weight * env, st.lam)
+        return st.L + st.env_weight * env
     if scene.spectral:
         from ..core import spectrum as spec
         return spec.spec_to_rgb_estimate(st.L, st.lam)

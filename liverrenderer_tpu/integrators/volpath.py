@@ -56,13 +56,15 @@ class VolpathState:
     eta: Array
     medium: Array          # (N,) int32 current medium, -1 = vacuum
     tissue_depth: Array    # (N,) fork extension (biovolpath.cpp:129)
-    channel: Array         # (N,) int32 tracked RGB channel
+    channel: Array         # (N,) int32 tracked channel (RGB index, or the
+    #                        hero-packet entry in the spectral variant)
     prev_p: Array
     prev_pdf: Array
     specular_chain: Array
     valid: Array
-    env_weight: Array      # (N,3) deferred env contribution weight
+    env_weight: Array      # (N,C) deferred env contribution weight
     sampler: Sampler
+    lam: Array = None      # (N,N_SPEC) hero wavelengths (spectral variant)
 
 
 def _has_bio(scene: Scene) -> bool:
@@ -80,24 +82,39 @@ def _has_bio(scene: Scene) -> bool:
 def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> VolpathState:
     n = ray.o.shape[0]
     u, sampler = sampler.next_1d()
+    if scene.spectral:
+        # spectral variant: a hero-wavelength packet per lane; the
+        # tracked channel indexes PACKET ENTRIES — distance sampling at
+        # the tracked wavelength, ratio weights per entry, and the bio
+        # one-hot selects the tracked wavelength (the RGB one-hot scheme
+        # is the 3-band degenerate case of this)
+        from ..core import spectrum as spec
+        ul, sampler = sampler.next_1d()
+        lam = spec.sample_hero(ul)
+        n_ch = spec.N_SPEC
+        C = spec.N_SPEC
+    else:
+        lam = None
+        n_ch = 3
+        C = 3
     if sampler.samp is not None and sampler.pix is not None:
-        # stratify the tracked RGB channel over the pixel's sample
-        # indices (exactly floor/ceil(spp/3) samples per channel) with a
-        # per-PIXEL hash rotation — removes the channel-allocation
+        # stratify the tracked channel over the pixel's sample
+        # indices (exactly floor/ceil(spp/n_ch) samples per channel) with
+        # a per-PIXEL hash rotation — removes the channel-allocation
         # variance of the one-hot bio estimator (chroma speckle on the
         # liver scenes) at identical expectation.  The dim draw stays so
         # the replay dimension budget is unchanged.
         rot = ((sampler.pix * jnp.uint32(2654435761)) >> jnp.uint32(16)) \
-            .astype(jnp.int32) % 3
-        channel = (sampler.samp.astype(jnp.int32) + rot) % 3
+            .astype(jnp.int32) % n_ch
+        channel = (sampler.samp.astype(jnp.int32) + rot) % n_ch
     else:
-        channel = jnp.minimum((u * 3).astype(jnp.int32), 2)
+        channel = jnp.minimum((u * n_ch).astype(jnp.int32), n_ch - 1)
     return VolpathState(
         active=jnp.ones((n,), bool),
         depth=jnp.zeros((n,), jnp.int32),
         ray_o=ray.o, ray_d=ray.d,
-        L=jnp.zeros((n, 3)),
-        throughput=jnp.ones((n, 3)),
+        L=jnp.zeros((n, C)),
+        throughput=jnp.ones((n, C)),
         eta=jnp.ones((n,)),
         medium=jnp.full((n,), scene.camera_medium, jnp.int32),
         tissue_depth=jnp.zeros((n,)),
@@ -106,8 +123,9 @@ def init_state(ray: Ray, sampler: Sampler, scene: Scene) -> VolpathState:
         prev_pdf=jnp.ones((n,)),
         specular_chain=jnp.ones((n,), bool),
         valid=jnp.zeros((n,), bool),
-        env_weight=jnp.zeros((n, 3)),
+        env_weight=jnp.zeros((n, C)),
         sampler=sampler,
+        lam=lam,
     )
 
 
@@ -141,7 +159,7 @@ def _nee_is_analytic(scene: Scene) -> bool:
 
 def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
                               tissue_depth, sampler, active, max_steps: int,
-                              bounded: bool):
+                              bounded: bool, lam=None):
     """NEE with transmittance estimation along the shadow path through media
     and null surfaces (biovolpath.cpp:382-541 sample_emitter).
 
@@ -149,11 +167,16 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
     transmittance + a single occlusion test instead of a ratio-tracked walk
     (the reference always walks; on TPU the walk's gather-heavy loop is worth
     skipping whenever the closed form exists)."""
+    from ..media.dispatch import _lift
     u2, sampler = sampler.next_2d()
     u1, sampler = sampler.next_1d()
     ds, em_weight = sample_emitter_direction(scene, ref_p, u2, u1)
     n = ref_p.shape[0]
+    C = 3 if lam is None else lam.shape[-1]
     active = active & (ds.pdf > 0)
+    if lam is not None:
+        from ..core import spectrum as _spec
+        em_weight = _spec.smits_upsample_illum(em_weight, lam)
 
     if _nee_is_analytic(scene):
         eps = (1.0 + jnp.max(jnp.abs(ref_p), -1)) * 1e-4
@@ -163,7 +186,7 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         occ = ray_test(scene, Ray(o=o0, d=ds.d, maxt=dist))
         midx = jnp.maximum(medium, 0)
         prm = scene.media.params[midx]
-        sig = prm[:, 0:3] * prm[:, 6:7]
+        sig = _lift(prm[:, 0:3] * prm[:, 6:7], lam)
         in_med = (medium >= 0)[:, None]
         # env emitters have dist=inf: exp(-inf*sig) is 0 but its sigma
         # derivative is nan (0*inf); sanitize so the limit (0, grad 0) holds
@@ -182,7 +205,7 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         o=o0,
         remaining=ds.dist * (1.0 - 1e-3) - eps,
         medium=medium,
-        tr=jnp.ones((n, 3)),
+        tr=jnp.ones((n, C)),
         sampler=sampler,
     )
 
@@ -195,7 +218,7 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         in_med = active & (st["medium"] >= 0)
         mei, sampler = sample_interaction(
             scene, st["medium"], st["o"], ds.d, surf_t, st["sampler"],
-            channel, tissue_depth, in_med)
+            channel, tissue_depth, in_med, lam=lam)
         tr_a, ffpdf = transmittance_eval_pdf(scene, st["medium"], mei, surf_t)
         tr_pdf = _index_spectrum(ffpdf, channel)
         # sampling densities are detached (PRB rule); without stop_gradient
@@ -222,6 +245,7 @@ def sample_emitter_attenuated(scene: Scene, ref_p, medium, channel,
         null_tr = eval_null_transmission(
             scene, si, m.table_lookup(scene.shape_bsdf,
                                       jnp.maximum(si.shape, 0)))
+        null_tr = _lift(null_tr, lam)
         tr = jnp.where(hit_surface[:, None], tr * null_tr, tr)
 
         # advance — only lanes that keep walking move; escaped/dead lanes
@@ -269,6 +293,23 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     sampler = st.sampler
     active = st.active
 
+    if scene.spectral:
+        # spectral variant: RGB radiometric inputs lifted to the lane's
+        # hero-wavelength packet (reflectances by the Smits basis,
+        # radiances D65-referenced per srgb_d65 — same scheme as the
+        # surface family, path.py)
+        from ..core import spectrum as _spec
+
+        def refl(v):
+            return _spec.smits_upsample(v, st.lam)
+
+        def illum(v):
+            return _spec.smits_upsample_illum(v, st.lam)
+    else:
+        def refl(v):
+            return v
+        illum = refl
+
     in_medium = active & (st.medium >= 0)
     throughput = st.throughput
     L = st.L
@@ -283,7 +324,7 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
                                   sample_interaction_candidate)
     cand, sampler = sample_interaction_candidate(
         scene, st.medium, st.ray_o, st.ray_d, sampler, st.channel,
-        tissue_depth, in_medium)
+        tissue_depth, in_medium, lam=st.lam)
     ray_maxt = jnp.where(in_medium & jnp.isfinite(cand["dist"]),
                          cand["dist"], INF)
     ray = Ray(o=st.ray_o, d=st.ray_d, maxt=ray_maxt)
@@ -393,7 +434,8 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     else:
         em_pdf = jnp.zeros((n,))  # no NEE anywhere: BSDF sampling owns MIS
     mis_b = m.mis_weight(st.prev_pdf, em_pdf)
-    contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], em_val, 0.0)
+    contrib = jnp.where(((eidx >= 0) & si.valid)[:, None], illum(em_val),
+                        0.0)
     hide = scene.hide_emitters & (st.depth == 0)
     gather = active_surface & ~hide & ~reached_max
     L = L + jnp.where(gather[:, None],
@@ -419,13 +461,13 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
         ref_p = jnp.where(nee_med[:, None], mei.p, si.p)
         ds_s, emw_s, sampler = sample_emitter_attenuated(
             scene, ref_p, st.medium, st.channel, tissue_depth, sampler,
-            nee_any, scene.max_depth, bounded_nee)
+            nee_any, scene.max_depth, bounded_nee, lam=st.lam)
         wo_local = si.to_local(ds_s.d)
         bval, bpdf = bsdf_eval_pdf(scene, si, bsdf_idx, wo_local)
         ph_val = phase_eval(ptype, g, m.dot(st.ray_d, ds_s.d), pprm,
                             st.ray_d, ds_s.d, scene.media.phase_types)
         cpdf = jnp.where(nee_med, ph_val, bpdf)
-        cval = jnp.where(nee_med[:, None], ph_val[:, None], bval)
+        cval = jnp.where(nee_med[:, None], ph_val[:, None], refl(bval))
         mis_e = m.mis_weight(ds_s.pdf, jnp.where(ds_s.delta, 0.0, cpdf))
         tp_nee = jnp.where(nee_med[:, None], throughput_pre_phase,
                            throughput)
@@ -439,7 +481,7 @@ def bounce(scene: Scene, st: VolpathState, bounded_nee: bool) -> VolpathState:
     wo_surf = si.to_world(bs.wo)
     surf_ok = active_surface & (bs.pdf > 0)
     non_null = surf_ok & ((bs.sampled_type & F_NULL) == 0)
-    throughput = jnp.where(surf_ok[:, None], throughput * bs.weight,
+    throughput = jnp.where(surf_ok[:, None], throughput * refl(bs.weight),
                            throughput)
     eta = jnp.where(surf_ok, st.eta * bs.eta, st.eta)
     depth = jnp.where(non_null, depth + 1, depth)
@@ -520,5 +562,11 @@ def sample(scene: Scene, sampler: Sampler, ray: Ray, mode: str = "primal"):
             return body(s), None
         st, _ = jax.lax.scan(step, st, None, length=scene.max_depth)
     # deferred environment contribution (one lookup per path, not per bounce)
-    L = st.L + st.env_weight * eval_environment(scene, st.ray_d)
+    env = eval_environment(scene, st.ray_d)
+    if scene.spectral:
+        from ..core import spectrum as spec
+        env = spec.smits_upsample_illum(env, st.lam)
+        return spec.spec_to_rgb_estimate(st.L + st.env_weight * env,
+                                         st.lam), st.valid, st.sampler
+    L = st.L + st.env_weight * env
     return L, st.valid, st.sampler

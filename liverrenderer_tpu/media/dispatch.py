@@ -41,15 +41,29 @@ HEPATOCYTE_MEAN_DIAMETER = 0.0025  # liver.cpp:515
 
 
 def _index_spectrum(spec, channel):
-    """spec: (N,3), channel: (N,) -> (N,). (biovolpath.cpp:84-93)
+    """spec: (N,C), channel: (N,) -> (N,). (biovolpath.cpp:84-93)
 
     Branchless select, NOT take_along_axis: a per-lane dynamic gather
     lowers to a multi-ms custom kernel on TPU (measured ~3-5 ms per
-    1M-lane gather), while two selects fuse into the bounce for free.
-    """
+    1M-lane gather), while a short select chain fuses into the bounce for
+    free.  C = 3 (RGB) or N_SPEC (spectral variant: the tracked channel
+    indexes the lane's hero-wavelength packet)."""
     ch = channel.astype(jnp.int32)
-    return jnp.where(ch == 0, spec[..., 0],
-                     jnp.where(ch == 1, spec[..., 1], spec[..., 2]))
+    out = spec[..., 0]
+    for c in range(1, spec.shape[-1]):
+        out = jnp.where(ch == c, spec[..., c], out)
+    return out
+
+
+def _lift(v3, lam):
+    """RGB (N,3) -> per-lane spectral packet (N,N_SPEC) when lam is given
+    (the spectral variant's Smits upsampling of RGB medium coefficients,
+    core/spectrum.py), identity otherwise.  The analog of the reference's
+    Spectrum-typed sigma_t in *_spectral_* builds (fwd.h:216)."""
+    if lam is None:
+        return v3
+    from ..core import spectrum as spec
+    return spec.smits_upsample(v3, lam)
 
 
 def _select_rows(idx, *rows):
@@ -95,7 +109,7 @@ def _eval_grid(scene: Scene, gid, p):
 
 
 def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
-                          tissue_depth):
+                          tissue_depth, lam=None):
     """Competing-exponential element sampling for the bio media.
 
     Returns (bio_type, distance, sampler).  Mirrors liver.cpp computeDistance
@@ -126,6 +140,11 @@ def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
     bile = jnp.where(is_liver[:, None], prm[:, 43:46], prm[:, 15:18])
     lipid = jnp.where(is_liver[:, None], prm[:, 48:51], prm[:, 18:21])
     hep = jnp.where(is_liver, prm[:, 46], prm[:, 21])
+    # spectral variant: each element's RGB sigma lifted to the lane's
+    # wavelength packet; the tracked channel then indexes wavelengths
+    coll, elas = _lift(coll, lam), _lift(elas, lam)
+    blood, bile, lipid = _lift(blood, lam), _lift(bile, lam), \
+        _lift(lipid, lam)
 
     # six independent uniforms (2 glisson + 4 parenchyma elements),
     # drawn in 2 hashes instead of 6
@@ -188,7 +207,8 @@ def _bio_compute_distance(scene: Scene, midx, mtype, prm, channel, sampler,
 
 
 def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
-                                 sampler, channel, tissue_depth, active):
+                                 sampler, channel, tissue_depth, active,
+                                 lam=None):
     """Phase 1 of free-flight sampling: draw the tentative collision
     distance and evaluate coefficients at the candidate point.
 
@@ -203,8 +223,9 @@ def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
     mtype = m.table_lookup(med.mtype, midx)
     prm = m.table_lookup(med.params, midx)
     scale = prm[:, 6]
-    sigma_t_base = prm[:, 0:3] * scale[:, None]
-    albedo = prm[:, 3:6]
+    sigma_t_base = _lift(prm[:, 0:3] * scale[:, None], lam)
+    albedo = _lift(prm[:, 3:6], lam)
+    C = sigma_t_base.shape[-1]
 
     u, sampler = sampler.next_1d()
     u = jnp.minimum(u, 1.0 - 1e-7)
@@ -212,7 +233,7 @@ def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
     tp = med.types_present
     majorant = sigma_t_base
     if MEDIUM_HETEROGENEOUS in tp:
-        maj_het = prm[:, 10:11] * scale[:, None] * jnp.ones((n, 3))
+        maj_het = prm[:, 10:11] * scale[:, None] * jnp.ones((n, C))
         majorant = jnp.where((mtype == MEDIUM_HETEROGENEOUS)[:, None],
                              maj_het, majorant)
     maj_c = _index_spectrum(majorant, channel)
@@ -227,7 +248,7 @@ def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
     if bio_present:
         btype, bdist, rate_total, rate_chosen, sampler = \
             _bio_compute_distance(scene, midx, mtype, prm, channel, sampler,
-                                  tissue_depth)
+                                  tissue_depth, lam=lam)
         is_bio = mtype >= MEDIUM_GLISSON
         dist = jnp.where(is_bio, bdist, dist)
         bio_type = jnp.where(is_bio, btype, bio_type)
@@ -248,7 +269,7 @@ def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
     if MEDIUM_HETEROGENEOUS in tp:
         gid = jnp.maximum(med.grid_id[midx], 0)
         dens = _eval_grid(scene, gid, p) * scale
-        sig_het = dens[:, None] * jnp.ones((n, 3))
+        sig_het = dens[:, None] * jnp.ones((n, C))
         sigma_t = jnp.where((mtype == MEDIUM_HETEROGENEOUS)[:, None],
                             sig_het, sigma_t)
     sigma_s = sigma_t * albedo
@@ -257,8 +278,12 @@ def sample_interaction_candidate(scene: Scene, medium_idx, ray_o, ray_d,
         # majorant stays eval_sigmat (parenchyma.cpp:175-190) so null
         # collisions fill the gap
         par = (mtype == MEDIUM_PARENCHYMA)[:, None]
-        sigma_t = jnp.where(par, jnp.asarray(_PARENCHYMA_SIGMA_T), sigma_t)
-        sigma_s = jnp.where(par, jnp.asarray(_PARENCHYMA_SIGMA_S), sigma_s)
+        st_hc = _lift(jnp.broadcast_to(
+            jnp.asarray(_PARENCHYMA_SIGMA_T), (n, 3)), lam)
+        ss_hc = _lift(jnp.broadcast_to(
+            jnp.asarray(_PARENCHYMA_SIGMA_S), (n, 3)), lam)
+        sigma_t = jnp.where(par, st_hc, sigma_t)
+        sigma_s = jnp.where(par, ss_hc, sigma_s)
     sigma_n = jnp.maximum(majorant - sigma_t, 0.0)
 
     cand = dict(dist=dist, p=p, sigma_t=sigma_t, sigma_s=sigma_s,
@@ -274,10 +299,11 @@ def finalize_interaction(cand, maxt, channel, active):
     (liver.cpp:499-534) and the score-estimator log-likelihood."""
     dist = cand["dist"]
     n = dist.shape[0]
+    C = cand["sigma_t"].shape[-1]
     valid = active & (dist <= maxt) & (dist > 0)
     t = jnp.where(valid, dist, INF)
 
-    transmittance = jnp.ones((n, 3))
+    transmittance = jnp.ones((n, C))
     log_p = jnp.zeros((n,))
     if cand["bio_present"]:
         bio_type = cand["bio_type"]
@@ -285,10 +311,10 @@ def finalize_interaction(cand, maxt, channel, active):
         absorbed = (bio_type == BIO_ABSORBER) \
             | ((bio_type == BIO_ABSORBER_AND_ATTENUATOR)
                & (dist < HEPATOCYTE_MEAN_DIAMETER))
-        onehot = jax.nn.one_hot(channel, 3, dtype=jnp.float32)
+        onehot = jax.nn.one_hot(channel, C, dtype=jnp.float32)
         tr_bio = jnp.where(valid[:, None],
                            jnp.where(absorbed[:, None], 0.0, onehot),
-                           jnp.ones((n, 3)))
+                           jnp.ones((n, C)))
         transmittance = jnp.where(is_bio[:, None], tr_bio, transmittance)
         # absorbed lanes scatter nowhere: mark invalid scatter but keep t
         # finite so the integrator can kill them via transmittance==0
@@ -313,7 +339,7 @@ def finalize_interaction(cand, maxt, channel, active):
 
 
 def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
-                       sampler, channel, tissue_depth, active):
+                       sampler, channel, tissue_depth, active, lam=None):
     """Sample a free-flight distance in each lane's medium.
 
     Returns (mei: MediumInteraction, sampler).  mei.t = inf means the lane
@@ -323,7 +349,7 @@ def sample_interaction(scene: Scene, medium_idx, ray_o, ray_d, maxt,
     """
     cand, sampler = sample_interaction_candidate(
         scene, medium_idx, ray_o, ray_d, sampler, channel, tissue_depth,
-        active)
+        active, lam=lam)
     return finalize_interaction(cand, maxt, channel, active), sampler
 
 

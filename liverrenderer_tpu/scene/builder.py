@@ -1980,9 +1980,11 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".",
 
     scene = b.finalize()
     if variant and "spectral" in str(variant):
-        assert scene.integrator in ("path", "direct"), \
-            "spectral variant covers the surface-path family " \
-            "(volpath runs its own per-channel spectral MIS)"
+        assert scene.integrator in ("path", "direct", "volpath",
+                                    "volpathmis", "biovolpath",
+                                    "biovolpath06", "prbvolpath"), \
+            "spectral variant covers the surface-path and volumetric " \
+            "families"
         assert not scene.ssub.enabled, \
             "spectral variant does not support subsurface hooks (RGB-only)"
         scene = scene.replace(spectral=True)
