@@ -8,8 +8,14 @@ a (scale x albedo) forensic sweep (round 3, scale 0..2.5, albedo
 0.75..0.95 at 192 spp) brackets the golden's brightness at scale ~1.0-1.25
 — NOT the runner's 2.5 — and no gray-fog parameterization reproduces its
 channel balance (golden R:G:B = 2.3:1.7:1 vs 3.0:1.9:1 for every sweep
-point; structural correlation plateaus at ~0.92).  The golden is from an
-earlier revision with different (unrecoverable) parameters, so the
+point; structural correlation plateaus at ~0.92).  Decisive provenance
+evidence (round 5): the SHIPPED MitsubaRunner.py does not even render
+its fog dict — `scene = mi.load_dict(scene_components)` is immediately
+OVERWRITTEN by `scene = mi.load_file("D:...medium_homogeneous_sss.xml")`
+(MitsubaRunner.py:133-134, output_filename "bunny"), i.e. the script had
+already been repurposed for an SSS experiment when the snapshot was
+taken.  The golden therefore predates the shipped fog parameters twice
+over and its true config is unrecoverable (no git history ships).  The
 quantitative check is analytic — Beer-Lambert direct transmission of the
 lamp through a purely absorbing fog — and the golden comparison is
 structural (correlation of downsampled block means).
