@@ -418,16 +418,22 @@ def _grad_replay_tiled(scene: Scene, params, loss_fn, spp: int, seed):
     keep_pools = n_tiles * tile_pix * spp * 12 <= POOL_BYTES_CAP
     if keep_pools:
         # ---- pooled schedule: the stored forwards ARE the loss primal ----
+        # films accumulate ON DEVICE per tile (a host transfer + sync per
+        # partition serialized the pipeline — JAX dispatch is async, so
+        # keeping everything device-side lets partition k+1 enqueue while
+        # k executes); one assembly at the loss
         sc_det = _detach(apply_params(scene, _detach(params)))
-        acc = np.zeros((n_tiles * tile_pix, 4), np.float32)
+        tile_films = [None] * n_tiles
         pools = {}
         for t, c in parts:
             film, pool_L = _tile_fwd_jit(sc_det, seed,
                                          jnp.uint32(t * tile_pix),
                                          jnp.uint32(c * spp_chunk),
                                          spp, spp_chunk, tile_pix)
-            acc[t * tile_pix:(t + 1) * tile_pix] += np.asarray(film)
+            tile_films[t] = film if tile_films[t] is None \
+                else tile_films[t] + film
             pools[(t, c)] = pool_L
+        acc = np.concatenate([np.asarray(f) for f in tile_films])
         loss, image, g_rgb = _loss_from_acc_jit(
             jnp.asarray(acc[:n_pix].reshape(h, w, 4)), loss_fn)
         grads = jax.tree_util.tree_map(jnp.zeros_like, params)
