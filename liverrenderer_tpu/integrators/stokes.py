@@ -56,28 +56,37 @@ class PolState:
     depth: Array
     ray_o: Array
     ray_d: Array
-    S: Array           # (N, 3, 4) accumulated camera Stokes per channel
-    T: Array           # (N, 3, 4, 4) Mueller path throughput
+    S: Array           # (N, C, 4) accumulated camera Stokes per channel
+    T: Array           # (N, C, 4, 4) Mueller path throughput
     prev_p: Array      # (N, 3) previous vertex (emitter-pdf reference)
     prev_pdf: Array    # (N,) bsdf pdf of the ray that produced this hit
     prev_smooth: Array  # (N,) last event was non-delta (MIS-countable)
     sampler: Sampler
+    lam: Array = None  # (N, N_SPEC) hero wavelengths (spectral x polarized
+    #                    variant — C = N_SPEC instead of 3 RGB channels)
 
 
 def _event_mueller(scene: Scene, si, refl, d_in_light, d_out_light,
-                   basis_in, basis_out):
+                   basis_in, basis_out, lam=None):
     """Normalized (M00=1) Mueller matrix of a scattering event (sampled
     OR a NEE connection), expressed from the canonical basis of the
     incoming light ray to the canonical basis of the outgoing
     (camera-side) ray.  `refl` marks lanes whose event is a reflection
-    (Fresnel polarization applies); everything else depolarizes."""
+    (Fresnel polarization applies); everything else depolarizes.
+
+    lam: hero wavelengths (spectral x polarized variant) — the channel
+    axis becomes the wavelength packet; conductor eta/k RGB rows are
+    lifted to the packet by the Smits basis (a smooth interpolant — the
+    reference's polarized-spectral variants read tabulated metal IORs
+    that do not ship, so this is the documented substitution)."""
     n = d_in_light.shape[0]
+    C = 3 if lam is None else lam.shape[-1]
     bidx = jnp.maximum(m.table_lookup(scene.shape_bsdf,
                                       jnp.maximum(si.shape, 0)), 0)
     btype = m.table_lookup(scene.bsdfs.btype, bidx)
     prm = m.table_lookup(scene.bsdfs.params, bidx)
     # default: depolarizer (diffuse & friends) — basis-independent
-    M = jnp.broadcast_to(mu.depolarizer(1.0), (n, 3, 4, 4))
+    M = jnp.broadcast_to(mu.depolarizer(1.0), (n, C, 4, 4))
 
     types = set(scene.bsdfs.types_present)
 
@@ -98,14 +107,18 @@ def _event_mueller(scene: Scene, si, refl, d_in_light, d_out_light,
         eta_re = jnp.where(is_cond[:, None], prm[:, 0:3],
                            prm[:, 0:1])       # dielectric: real eta
         eta_im = jnp.where(is_cond[:, None], prm[:, 3:6], 0.0)
+        if lam is not None:
+            from ..core import spectrum as _spec
+            eta_re = _spec.smits_upsample(eta_re, lam)
+            eta_im = _spec.smits_upsample(eta_im, lam)
         # per-channel Mueller; normalize by the unpolarized reflectance
         Ms = []
-        for c in range(3):
+        for c in range(C):
             Mc = mu.specular_reflection_fresnel(ci, eta_re[:, c],
                                                 eta_im[:, c])
             Mc = Mc / jnp.maximum(Mc[:, 0:1, 0:1], 1e-12)
             Ms.append(Mc)
-        M_sp = jnp.stack(Ms, 1)                        # (N,3,4,4)
+        M_sp = jnp.stack(Ms, 1)                        # (N,C,4,4)
         R_in = mu.rotator(mu.rotation_angle(d_in_light, basis_in, s_axis))
         R_out = mu.rotator(mu.rotation_angle(d_out_light, s_axis, basis_out))
         M_f = jnp.einsum("nij,ncjk,nkl->ncil", R_out, M_sp, R_in)
@@ -163,10 +176,26 @@ def bounce(scene: Scene, st: PolState) -> PolState:
     si = shading_frame_with_bump(scene, si, ray)
     bidx = m.table_lookup(scene.shape_bsdf, jnp.maximum(si.shape, 0))
 
+    if scene.spectral:
+        # spectral x polarized: RGB radiometric inputs lifted to the
+        # lane's wavelength packet (same scheme as path.py)
+        from ..core import spectrum as _spec
+
+        def refl(v):
+            return _spec.smits_upsample(v, st.lam)
+
+        def illum(v):
+            return _spec.smits_upsample_illum(v, st.lam)
+    else:
+        def refl(v):
+            return v
+        illum = refl
+
     # ------- emission gathered along the bsdf ray, MIS-weighted ----------
     # (unpolarized sources: S += T[..., :, 0] * Le * mis)
     em_val, eidx = eval_emitter_hit(scene, si, ray.d)
     env_val = eval_environment(scene, ray.d)
+    em_val, env_val = illum(em_val), illum(env_val)
     escaped = ~si.valid
     if scene.emitters.env_index >= 0:
         eidx_mis = jnp.where(escaped,
@@ -207,9 +236,10 @@ def bounce(scene: Scene, st: PolState) -> PolState:
     refl_nee = m.cos_theta(wo_local) * m.cos_theta(si.wi) > 0
     d_in_nee = -ds.d                  # light travels emitter -> surface
     M_nee = _event_mueller(scene, si, refl_nee, d_in_nee, d_out_light,
-                           mu.stokes_basis(d_in_nee), basis_out)
+                           mu.stokes_basis(d_in_nee), basis_out,
+                           lam=st.lam)
     T_nee = jnp.einsum("ncij,ncjk->ncik", st.T, M_nee)
-    c_nee = bval * em_weight * mis_em[:, None]
+    c_nee = refl(bval) * illum(em_weight) * mis_em[:, None]
     S = S + jnp.where(nee_valid[:, None, None],
                       T_nee[..., :, 0] * c_nee[:, :, None], 0.0)
 
@@ -225,9 +255,9 @@ def bounce(scene: Scene, st: PolState) -> PolState:
     basis_in = mu.stokes_basis(d_in_light)
     refl_bs = (bs.sampled_type & (F_DELTA_REFL | F_GLOSSY_REFL)) != 0
     M = _event_mueller(scene, si, refl_bs, d_in_light, d_out_light,
-                       basis_in, basis_out)
+                       basis_in, basis_out, lam=st.lam)
     T = jnp.einsum("ncij,ncjk->ncik", st.T, M) \
-        * bs.weight[:, :, None, None]
+        * refl(bs.weight)[:, :, None, None]
 
     return st.replace(
         active=alive,
@@ -245,22 +275,42 @@ def bounce(scene: Scene, st: PolState) -> PolState:
 
 
 def sample_stokes(scene: Scene, sampler: Sampler, ray: Ray):
+    """Per-lane Stokes estimate (N, 3, 4).  In the spectral x polarized
+    variant the loop carries an (N, N_SPEC, 4) wavelength-packet Stokes
+    state and converts each component to RGB at the end (CIE estimate),
+    so callers always receive 3 channels."""
     n = ray.o.shape[0]
+    if scene.spectral:
+        from ..core import spectrum as spec
+        ul, sampler = sampler.next_1d()
+        lam = spec.sample_hero(ul)
+        C = spec.N_SPEC
+    else:
+        lam = None
+        C = 3
     st = PolState(
         active=jnp.ones((n,), bool),
         depth=jnp.zeros((n,), jnp.int32),
         ray_o=ray.o, ray_d=ray.d,
-        S=jnp.zeros((n, 3, 4)),
-        T=jnp.broadcast_to(jnp.eye(4), (n, 3, 4, 4)),
+        S=jnp.zeros((n, C, 4)),
+        T=jnp.broadcast_to(jnp.eye(4), (n, C, 4, 4)),
         prev_p=ray.o,
         prev_pdf=jnp.ones((n,)),
         prev_smooth=jnp.zeros((n,), bool),
         sampler=sampler,
+        lam=lam,
     )
     st = jax.lax.while_loop(
         lambda s: jnp.any(s.active) & jnp.all(s.depth < scene.max_depth),
         lambda s: bounce(scene, s), st)
-    return st.S, st.sampler
+    S = st.S
+    if scene.spectral:
+        from ..core import spectrum as spec
+        # CIE-convert each Stokes component (linear, so negatives in
+        # S1..S3 are preserved)
+        S = jnp.stack([spec.spec_to_rgb_estimate(S[:, :, k], st.lam)
+                       for k in range(4)], -1)          # (N, 3, 4)
+    return S, st.sampler
 
 
 def render_stokes(scene: Scene, spp: int = 16, seed: int = 0):

@@ -1982,9 +1982,10 @@ def load_dict(d: Dict[str, Any], base_dir: str = ".",
     if variant and "spectral" in str(variant):
         assert scene.integrator in ("path", "direct", "volpath",
                                     "volpathmis", "biovolpath",
-                                    "biovolpath06", "prbvolpath"), \
-            "spectral variant covers the surface-path and volumetric " \
-            "families"
+                                    "biovolpath06", "prbvolpath",
+                                    "stokes"), \
+            "spectral variant covers the surface-path, volumetric, and " \
+            "polarized families"
         assert not scene.ssub.enabled, \
             "spectral variant does not support subsurface hooks (RGB-only)"
         scene = scene.replace(spectral=True)

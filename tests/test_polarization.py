@@ -163,3 +163,83 @@ def test_stokes_s0_matches_path_with_area_light():
     s0 = S[..., 0, :]
     rel = abs(float(s0.mean()) - float(img.mean())) / max(img.mean(), 1e-6)
     assert rel < 0.05, (s0.mean(), img.mean())
+
+
+# ---------------------------------------------------------------------------
+# Spectral x polarized variant (round 5): the Stokes loop carries an
+# (N, N_SPEC, 4) wavelength-packet state (reference *_spectral_polarized
+# builds, fwd.h:216) and CIE-converts each component at the end.
+# ---------------------------------------------------------------------------
+
+def _stack_scene_spectral(elements, radiance=1.0, max_depth=8):
+    d = {
+        "type": "scene",
+        "integrator": {"type": "stokes", "max_depth": max_depth},
+        "sensor": {
+            "type": "perspective", "fov": 10.0,
+            "to_world": lr.Transform().look_at([0, 0, 3], [0, 0, 0],
+                                               [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 4, "height": 4,
+                     "rfilter": {"type": "box"}},
+        },
+        "env": {"type": "constant",
+                "radiance": {"type": "rgb", "value": [radiance] * 3}},
+    }
+    for i, el in enumerate(elements):
+        d[f"el{i}"] = {
+            "type": "rectangle",
+            "to_world": lr.Transform().translate([0, 0, 2.0 - 0.5 * i]),
+            "bsdf": el,
+        }
+    return lr.load_dict(d, variant="spectral")
+
+
+@pytest.mark.parametrize("theta2", [0.0, 30.0, 60.0, 90.0])
+def test_spectral_malus_law(theta2):
+    """Malus's law holds per wavelength, and the flat (white) env makes
+    the CIE conversion exact — the spectral x polarized S0 must match
+    0.5 cos^2(dtheta) like the RGB variant."""
+    s = _center_stokes(_stack_scene_spectral([
+        {"type": "polarizer", "theta": theta2},
+        {"type": "polarizer", "theta": 0.0},
+    ]), spp=64)
+    expect = 0.5 * np.cos(np.deg2rad(theta2)) ** 2
+    assert abs(s[0] - expect) < 0.02, (theta2, s[0], expect)
+
+
+def test_spectral_stokes_matches_rgb_fresnel():
+    """45-degree conductor reflection: the spectral x polarized render's
+    degree/angle of polarization must match the RGB stokes render
+    (metamerism only scales the channels, not the polarization state)."""
+    def scene(variant=None):
+        d = {
+            "type": "scene",
+            "integrator": {"type": "stokes", "max_depth": 4},
+            "sensor": {
+                "type": "perspective", "fov": 20.0,
+                "to_world": lr.Transform().look_at([3, 0, 3], [0, 0, 0],
+                                                   [0, 1, 0]),
+                "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                         "rfilter": {"type": "box"}},
+            },
+            "mirror": {"type": "rectangle",
+                       "to_world": lr.Transform().scale(2.0),
+                       "bsdf": {"type": "conductor", "material": "Au"}},
+            "env": {"type": "constant",
+                    "radiance": {"type": "rgb", "value": [1.0] * 3}},
+        }
+        return lr.load_dict(d, variant=variant)
+
+    rgb = lr.render_stokes(scene(), spp=32, seed=0)
+    sp = lr.render_stokes(scene("spectral"), spp=64, seed=0)
+    assert np.isfinite(sp).all()
+    # images are (h, w, 4, 3): average the center block per component
+    s_r = rgb[2:6, 2:6].mean((0, 1))      # (4, 3)
+    s_s = sp[2:6, 2:6].mean((0, 1))
+    # degree of linear polarization per channel-mean
+    def dop(s):
+        return np.sqrt(s[1].mean() ** 2 + s[2].mean() ** 2) \
+            / max(s[0].mean(), 1e-9)
+    assert abs(dop(s_s) - dop(s_r)) < 0.08, (dop(s_r), dop(s_s))
+    # S0 energy within metamerism bounds
+    assert abs(s_s[0].mean() - s_r[0].mean()) / s_r[0].mean() < 0.15
