@@ -1847,9 +1847,12 @@ _INSTANCEABLE_TYPES = ("rectangle", "cube", "disk", "cylinder", "obj",
 
 def _group_instanceable(group: dict) -> bool:
     """True when every child of a shapegroup can run the non-flattened
-    instanced path: mesh-only geometry, no emitters (area emitters need
-    per-instance world geometry in the sampling tables — reference
-    shapegroup.cpp likewise rejects emitters inside groups)."""
+    instanced path: mesh-only geometry, no emitters.  The reference
+    outright THROWS on emitters/sensors inside groups
+    (src/render/shapegroup.cpp:25-30 "Instancing of emitters is not
+    supported"); we fall back to flattened replication instead (more
+    permissive).  Media-carrying children are allowed, matching the
+    reference (media are sampled in world space either way)."""
     for sval in group.values():
         if not isinstance(sval, dict):
             continue
