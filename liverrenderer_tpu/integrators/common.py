@@ -30,10 +30,14 @@ def _integrator_sample(scene: Scene, sampler, ray, mode="primal"):
     if name == "volprim_rf_basic":
         from . import volprim as volprim_mod
         return volprim_mod.sample(scene, sampler, ray, mode=mode)
-    if name == "volpathmis" and not volpath_mod._has_bio(scene):
+    if name == "volpathmis" and not volpath_mod._has_bio(scene) \
+            and not scene.spectral:
         # true spectral MIS over the per-channel distance-sampling
         # strategies (volpathmis.cpp SpectralMis variant); bio media keep
-        # their one-hot channel semantics in volpath.py
+        # their one-hot channel semantics in volpath.py.  Under the
+        # SPECTRAL variant the RGB-channel MIS is subsumed by the
+        # wavelength-packet tracking (channel = packet entry), so
+        # spectral volpathmis scenes run the spectral volpath machinery.
         from . import volpathmis as volpathmis_mod
         return volpathmis_mod.sample(scene, sampler, ray, mode=mode)
     if name in ("volpath", "volpathmis", "biovolpath", "biovolpath06",

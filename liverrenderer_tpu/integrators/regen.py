@@ -499,9 +499,12 @@ def regen_applicable(scene: Scene, mode: str) -> bool:
     from ..scene.ir import FILTER_TENT
     from .volpath import _has_bio
     # non-bio volpathmis runs the true spectral-MIS scheme
-    # (integrators/volpathmis.py) which the regen bounce does not carry
+    # (integrators/volpathmis.py) which the regen bounce does not carry —
+    # EXCEPT under the spectral variant, where wavelength-packet tracking
+    # subsumes the RGB-channel MIS and volpathmis runs the (regen-able)
+    # spectral volpath machinery
     ok_names = ("volpath", "biovolpath", "biovolpath06") + _SURFACE \
-        + (("volpathmis",) if _has_bio(scene) else ())
+        + (("volpathmis",) if (_has_bio(scene) or scene.spectral) else ())
     return (mode == "primal"
             and scene.integrator in ok_names
             and scene.rfilter in (FILTER_BOX, FILTER_TENT)
