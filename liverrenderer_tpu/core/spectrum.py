@@ -249,6 +249,21 @@ def xyz_bar_jax(lam):
     return tbl[i0] * (1 - f) + tbl[i0 + 1] * f
 
 
+def rgb_estimate_weights(lam):
+    """d(rgb_j)/d(L_k) of `spec_to_rgb_estimate` at wavelengths lam
+    (..., K) -> (..., K, 3): W[..., k, j].  The estimate is linear in L,
+    so these weights convert an RGB loss cotangent into the wavelength-
+    packet cotangent the spectral replay adjoint walks with:
+    delta_packet_k = sum_j delta_rgb_j * W[..., k, j]."""
+    import jax.numpy as jnp
+
+    span = SPEC_MAX - SPEC_MIN
+    xyzb = xyz_bar_jax(lam)                              # (..., K, 3)
+    M = jnp.asarray(_XYZ_TO_SRGB, jnp.float32)
+    K = lam.shape[-1]
+    return (xyzb @ M.T) * (span / (K * _CIE_Y_INT))
+
+
 def spec_to_rgb_estimate(L, lam):
     """Monte-Carlo spectral-to-RGB: L (..., K) radiance samples at lam
     (..., K) drawn with the uniform hero pdf -> (..., 3) linear sRGB.

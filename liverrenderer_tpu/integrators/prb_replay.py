@@ -79,12 +79,14 @@ def replay_applicable(scene: Scene, params: Dict[str, Array], spp: int) \
         -> bool:
     """The replay adjoint covers every regen-able configuration (volpath
     AND surface-path families, box/tent filter, any film size / spp —
-    large films and sample budgets run the tiled schedule).  Sensor-
-    parameter gradients are not propagated, and SSS scenes keep the scan
-    adjoint (the VAE event's sampling geometry is not validated under the
-    per-bounce VJP yet) — both fall back."""
+    large films and sample budgets run the tiled schedule; round 5:
+    SPECTRAL scenes too — the pool stores the wavelength-packet radiance
+    and the walk converts the RGB loss cotangent to packet space via the
+    linear CIE-estimate weights).  Sensor-parameter gradients are not
+    propagated, and SSS scenes keep the scan adjoint (the VAE event's
+    sampling geometry is not validated under the per-bounce VJP yet) —
+    both fall back."""
     return (regen_applicable(scene, "primal")
-            and not scene.spectral
             and not (scene.ssub.enabled
                      and scene.integrator in regen_mod._SURFACE)
             and not any(k.startswith("sensor") for k in params))
@@ -130,11 +132,13 @@ def _delta_from_pos(scene: Scene, g_rgb: Array, pos: Array) -> Array:
 
 def _aux_pool(scene: Scene, g_rgb, pool_L, seed, spp_total: int, pix0,
               tile_pix, samp0, budget: int) -> Array:
-    """Per-sample [delta (filter-adjoint loss cotangent) | L_total] rows,
-    (budget, 6), precomputed in one batched sweep.  Merging both tables
+    """Per-sample [delta_rgb (filter-adjoint loss cotangent) | L_total]
+    rows, (budget, 3 + C) where C = pool channels (3 RGB, N_SPEC
+    spectral), precomputed in one batched sweep.  Merging both tables
     means the backward walk's lane-rebirth path costs ONE pool gather —
     gathers are ~16 ns/lane on v5e, one per iteration adds ~20% to the
     walk."""
+    C = regen_mod.pool_channels(scene)
     CH = min(1 << 20, budget)
     n_chunks = (budget + CH - 1) // CH
 
@@ -144,13 +148,13 @@ def _aux_pool(scene: Scene, g_rgb, pool_L, seed, spp_total: int, pix0,
         d = _delta_from_pos(scene, g_rgb, pos)
         d = jnp.where((ids < budget)[:, None], d, 0.0)
         row = jnp.concatenate(
-            [d, jax.lax.dynamic_slice(pool_L, (i * CH, 0), (CH, 3))], -1)
+            [d, jax.lax.dynamic_slice(pool_L, (i * CH, 0), (CH, C))], -1)
         return jax.lax.dynamic_update_slice(pool, row, (i * CH, 0))
 
     if budget % CH:                      # pad so the L slice stays in step
         pool_L = jnp.concatenate(
-            [pool_L, jnp.zeros((n_chunks * CH - budget, 3))], 0)
-    pool = jnp.zeros((n_chunks * CH, 6))
+            [pool_L, jnp.zeros((n_chunks * CH - budget, C))], 0)
+    pool = jnp.zeros((n_chunks * CH, 3 + C))
     pool = jax.lax.fori_loop(0, n_chunks, body, pool)
     return pool[:budget]
 
@@ -197,6 +201,7 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
     budget = tile_pix * spp_chunk
     W = min(REGEN_WAVEFRONT, budget)
     fam = regen_mod._family(scene)
+    C = regen_mod.pool_channels(scene)
     # the surface family folds env radiance into L inside the bounce (its
     # state has no env_weight), so env-parameter gradients arrive through
     # the L cotangent and no deferred-env machinery applies
@@ -204,12 +209,30 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
     diff_env = has_envw and any(k in _ENV_KEYS for k in params)
 
     def seed_aux(ids):
-        rows = aux_pool[ids]             # ONE gather: [delta | Ltot]
-        return rows[:, 0:3], rows[:, 3:6]
+        rows = aux_pool[ids]             # ONE gather: [delta_rgb | Ltot]
+        return rows[:, 0:3], rows[:, 3:3 + C]
+
+    def to_packet_ct(delta_rgb, lam):
+        """RGB loss cotangent -> wavelength-packet cotangent through the
+        linear lane-death CIE conversion (spectral variant); identity in
+        RGB.  Computed once per lane life (the packet depends only on
+        the lane's hero wavelengths)."""
+        if not scene.spectral:
+            return delta_rgb
+        from ..core import spectrum as spec
+        Wk = spec.rgb_estimate_weights(lam)             # (N, C, 3)
+        return jnp.einsum("nkj,nj->nk", Wk, delta_rgb)
+
+    def lift_env(E, lam):
+        if not scene.spectral:
+            return E
+        from ..core import spectrum as spec
+        return spec.smits_upsample_illum(E, lam)
 
     st, pos = _make_lanes(sc_det, jnp.arange(W, dtype=jnp.uint32), seed,
                           spp_total, pix0, tile_pix, samp0)
-    delta, Ltot = seed_aux(jnp.arange(W, dtype=jnp.uint32))
+    delta_rgb0, Ltot = seed_aux(jnp.arange(W, dtype=jnp.uint32))
+    delta = to_packet_ct(delta_rgb0, st.lam if scene.spectral else None)
     g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
 
     refills = (budget + W - 1) // W
@@ -233,7 +256,7 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
                 st2 = fam.bounce(sc, st_det, True)
                 return (st2.L, st2.throughput), st2
             (L2, tp2), vjp_fn, st2 = jax.vjp(local, params, has_aux=True)
-            ew2d = E_det = jnp.zeros((W, 3))
+            ew2d = E_det = jnp.zeros((W, C))
         elif diff_env:
             def local(p):
                 sc = apply_params(scene, p)
@@ -245,7 +268,7 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
                 # death — carries the deferred env-parameter gradient the
                 # primal loop's post-loop env evaluation would otherwise
                 # hide from the per-bounce VJP
-                E = eval_environment(sc, st2.ray_d)
+                E = lift_env(eval_environment(sc, st2.ray_d), st2.lam)
                 return (st2.L, st2.throughput, st2.env_weight, E), st2
             (L2, tp2, ew2, E), vjp_fn, st2 = jax.vjp(local, params,
                                                      has_aux=True)
@@ -260,7 +283,8 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
                                                   has_aux=True)
             # no env parameter is differentiated: evaluate the (envmap
             # quad gather) radiance OUTSIDE the VJP, detached
-            E_det = eval_environment(sc_det, st2.ray_d)
+            E_det = lift_env(eval_environment(sc_det, st2.ray_d),
+                             st2.lam if scene.spectral else None)
             ew2d = jax.lax.stop_gradient(ew2)
 
         L2d = jax.lax.stop_gradient(L2)
@@ -297,7 +321,8 @@ def _replay_walk(scene: Scene, params, seed, spp_total: int, aux_pool,
                                 tile_pix, samp0)
         st = _select_state(take, new_st, st)
         nd, nL = seed_aux(safe_ids)
-        delta = jnp.where(take[:, None], nd, delta)
+        ndc = to_packet_ct(nd, new_st.lam if scene.spectral else None)
+        delta = jnp.where(take[:, None], ndc, delta)
         Ltot = jnp.where(take[:, None], nL, Ltot)
         age = jnp.where(take, 0, age)
         next_s = jnp.minimum(next_s + jnp.sum(died.astype(jnp.uint32)),

@@ -58,24 +58,40 @@ def _lane_cap(scene: Scene) -> int:
     return scene.max_depth * (1 if scene.integrator in _SURFACE else 4)
 
 
-def _finalize_L(scene: Scene, st):
-    """Total path radiance at lane death.  The volpath family defers the
+def pool_channels(scene: Scene) -> int:
+    """Channel count of the stored-path pool: the spectral variant pools
+    the WAVELENGTH-PACKET radiance (the replay adjoint computes suffix
+    weights in packet space), RGB otherwise."""
+    if scene.spectral:
+        from ..core import spectrum as spec
+        return spec.N_SPEC
+    return 3
+
+
+def _finalize_L2(scene: Scene, st):
+    """(film_rgb, pool_vec) at lane death.  The volpath family defers the
     environment contribution into env_weight (one env eval per death
     instead of per bounce); the surface family folds it into L in-loop.
-    Spectral lanes convert their wavelength packet to RGB here, so the
-    film/pool stay 3-channel."""
+    Spectral lanes convert their wavelength packet to RGB for the FILM
+    but keep the packet for the POOL (the replay adjoint's suffix
+    identity lives in packet space)."""
     if hasattr(st, "env_weight"):
         env = eval_environment(scene, st.ray_d)
         if scene.spectral:
             from ..core import spectrum as spec
             env = spec.smits_upsample_illum(env, st.lam)
-            return spec.spec_to_rgb_estimate(
-                st.L + st.env_weight * env, st.lam)
-        return st.L + st.env_weight * env
+            Lp = st.L + st.env_weight * env
+            return spec.spec_to_rgb_estimate(Lp, st.lam), Lp
+        L = st.L + st.env_weight * env
+        return L, L
     if scene.spectral:
         from ..core import spectrum as spec
-        return spec.spec_to_rgb_estimate(st.L, st.lam)
-    return st.L
+        return spec.spec_to_rgb_estimate(st.L, st.lam), st.L
+    return st.L, st.L
+
+
+def _finalize_L(scene: Scene, st):
+    return _finalize_L2(scene, st)[0]
 
 
 def _make_lanes(scene: Scene, sample_ids, seed, spp: int, pix0: int = 0,
@@ -203,15 +219,16 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
     # [film RGBA | stratum-s L-block]) — one scatter-add per iteration
     # instead of two (~1.1 ms/iteration on v5e).
     spc = spp if spp_chunk is None else spp_chunk
+    C = pool_channels(scene)         # pool width: RGB or spectral packet
     fused = store_paths and scene.rfilter != FILTER_TENT and spc <= 16
     if fused:
-        film_pool = jnp.zeros((tile_pix, 4 + 3 * spc))
+        film_pool = jnp.zeros((tile_pix, 4 + C * spc))
         pool_L = jnp.zeros((1, 1))
         film = jnp.zeros((tile_pix, 4))
     else:
         n_rows = ((budget + _POOL_PACK - 1) // _POOL_PACK) \
             if store_paths else 1
-        pool_L = jnp.zeros((n_rows, 3 * _POOL_PACK))
+        pool_L = jnp.zeros((n_rows, C * _POOL_PACK))
         film_pool = jnp.zeros((1, 1))
         film = jnp.zeros((tile_pix, 4))
     refills = (budget + W - 1) // W
@@ -241,8 +258,9 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
         # out, not clamped into real pixels; taps landing outside the tile
         # are dropped by the scatter's OOB semantics (filter-importance
         # normalization in develop keeps the estimator consistent).
-        L = _finalize_L(scene, st)
+        L, Lpool = _finalize_L2(scene, st)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
+        Lpool = jnp.where(jnp.isfinite(Lpool), Lpool, 0.0)
         in_range = pos[:, 1] < h
         p0i = jnp.asarray(pix0, jnp.int32)
         if fused:
@@ -252,8 +270,8 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
                             .astype(jnp.int32), tile_pix)
             blk = (sid // jnp.uint32(tile_pix)).astype(jnp.int32)
             onehot = blk[:, None] == jnp.arange(spc)[None, :]
-            pool_cols = (onehot[:, :, None] * L[:, None, :]).reshape(
-                W, 3 * spc)
+            pool_cols = (onehot[:, :, None] * Lpool[:, None, :]).reshape(
+                W, C * spc)
             film_cols = jnp.concatenate([L, jnp.ones((W, 1))], -1) \
                 * in_range[:, None]
             film_pool = film_pool.at[row].add(
@@ -262,8 +280,8 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
             row = jnp.where(died, sid // _POOL_PACK, jnp.uint32(n_rows))
             blk = (sid % _POOL_PACK).astype(jnp.int32)
             onehot = blk[:, None] == jnp.arange(_POOL_PACK)[None, :]
-            vals = (onehot[:, :, None] * L[:, None, :]).reshape(
-                W, 3 * _POOL_PACK)
+            vals = (onehot[:, :, None] * Lpool[:, None, :]).reshape(
+                W, C * _POOL_PACK)
             # each sample dies exactly once -> add == set on zeros
             pool_L = pool_L.at[row].add(vals, mode="drop")
         if fused:
@@ -319,14 +337,14 @@ def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
     st, pos, sid, film, pool_L, film_pool, age, next_s, it = \
         jax.lax.while_loop(cond, body, init)
     if fused:
-        # flat (budget, 3) view: sample sid = s*tile_pix + p lives at
-        # film_pool[p, 4+3s : 4+3s+3]
-        pool_flat = film_pool[:, 4:].reshape(tile_pix, spc, 3) \
-            .transpose(1, 0, 2).reshape(-1, 3)[:budget]
+        # flat (budget, C) view: sample sid = s*tile_pix + p lives at
+        # film_pool[p, 4+Cs : 4+Cs+C]
+        pool_flat = film_pool[:, 4:].reshape(tile_pix, spc, C) \
+            .transpose(1, 0, 2).reshape(-1, C)[:budget]
         return film_pool[:, :4], pool_flat
     if store_paths:
-        # flat (budget, 3) view: row r cols [3c,3c+3) == sample r*PACK+c
-        return film, pool_L.reshape(-1, 3)[:budget]
+        # flat (budget, C) view: row r cols [Cc,Cc+C) == sample r*PACK+c
+        return film, pool_L.reshape(-1, C)[:budget]
     return film
 
 

@@ -233,3 +233,31 @@ def test_spectral_volpath_fd_gradient():
     ad = float(g[mid, 6])
     assert abs(fd) > 1e-4
     np.testing.assert_allclose(ad, fd, rtol=0.4)
+
+
+def test_spectral_replay_matches_scan_adjoint():
+    """Round 5: the replay adjoint covers SPECTRAL scenes (packet-width
+    path pool + CIE cotangent conversion).  Its gradients must agree
+    with the scan adjoint on the same spectral fog scene."""
+    from liverrenderer_tpu.integrators import prb_replay
+    from liverrenderer_tpu.integrators.prb import _render_grad_scan
+
+    scene = _fog_cornell("spectral", w=8)
+    params = {"media.params": scene.media.params}
+    assert prb_replay.replay_applicable(scene, params, 16)
+
+    def loss_fn(img):
+        return jnp.mean(img)
+
+    lr_, gr, _ = prb_replay.render_grad_replay(scene, params, loss_fn,
+                                               spp=16, seed=0)
+    ls, gs, _ = _render_grad_scan(scene, params, loss_fn, 16, 0, None)
+    g1 = np.asarray(gr["media.params"])
+    g2 = np.asarray(gs["media.params"])
+    assert np.isfinite(g1).all()
+    assert abs(float(lr_) - float(ls)) < 1e-5 * abs(float(ls)) + 1e-9
+    n1, n2 = np.linalg.norm(g1), np.linalg.norm(g2)
+    assert n1 > 0 and n2 > 0
+    corr = float((g1 * g2).sum() / (n1 * n2))
+    assert corr > 0.98, (corr, n1, n2)
+    assert 0.8 < n1 / n2 < 1.25, (n1, n2)
