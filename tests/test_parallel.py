@@ -270,3 +270,45 @@ def test_sharded_replay_ragged_spp(fog_scene):
     np.testing.assert_allclose(np.asarray(g2["media.params"]),
                                np.asarray(g1["media.params"]),
                                rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_spectral_regen_and_replay(fog_scene):
+    """Round 5: SPECTRAL scenes run the sharded fast paths too — the
+    packet-width path pool and CIE cotangent conversion flow through the
+    shard_map programs unchanged.  Both the psum'd film and the psum'd
+    gradients must equal the single-device fast paths."""
+    import jax.numpy as jnp
+    from liverrenderer_tpu.integrators import prb_replay, regen
+    from liverrenderer_tpu.parallel.mesh import (render_grad_replay_sharded,
+                                                 render_regen_sharded)
+    d = lr.cornell_box()
+    d["integrator"] = {"type": "volpath", "max_depth": 3}
+    d["sensor"]["film"] = {"type": "hdrfilm", "width": 12, "height": 12,
+                           "rfilter": {"type": "box"}}
+    d["fog"] = {"type": "cube", "to_world": lr.Transform().scale(0.99),
+                "bsdf": {"type": "null"},
+                "interior": {"type": "homogeneous",
+                             "sigma_t": {"type": "rgb", "value": [0.4] * 3},
+                             "albedo": {"type": "rgb", "value": [0.5] * 3}}}
+    sc = lr.load_dict(d, variant="spectral")
+    mesh = make_mesh(8)
+
+    ref = np.asarray(regen.render_regen(sc, 0, 8))
+    got = np.asarray(render_regen_sharded(sc, mesh, spp=8, seed=0))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    params = {"media.params": sc.media.params}
+
+    def loss_fn(img):
+        return jnp.mean(img)
+
+    assert prb_replay.replay_applicable(sc, params, 8)
+    l1, g1, _ = prb_replay.render_grad_replay(sc, params, loss_fn,
+                                              spp=8, seed=0)
+    l2, g2, _ = render_grad_replay_sharded(sc, mesh, params, loss_fn,
+                                           spp=8, seed=0)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2["media.params"]),
+                               np.asarray(g1["media.params"]),
+                               rtol=1e-4, atol=1e-8)
