@@ -44,7 +44,17 @@ def write_image(path: str, img: np.ndarray):
         return
     from PIL import Image
     ldr = np.clip(linear_to_srgb_np(np.clip(img, 0, None)), 0, 1)
-    Image.fromarray((ldr * 255 + 0.5).astype(np.uint8)).save(path)
+    # ordered dithering before the 8-bit quantization — the reference's
+    # StructConverter dithers 2D images to avoid banding (struct.h:356,
+    # struct.cpp:22/823 dither_matrix256); a tiled Bayer-style threshold
+    # matrix is the same idea without shipping the 64k-float table
+    h, w = ldr.shape[:2]
+    b = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                  [3, 11, 1, 9], [15, 7, 13, 5]], np.float32) / 16.0
+    ty = (h + 3) // 4
+    tx = (w + 3) // 4
+    thresh = np.tile(b, (ty, tx))[:h, :w][..., None]
+    Image.fromarray((ldr * 255 + thresh).astype(np.uint8)).save(path)
 
 
 def read_exr_any(path: str) -> np.ndarray:
