@@ -181,6 +181,10 @@ SINGLE_EXEC_PATHS = 1 << 23
 # path-pool packing factor (see _render_regen_tile store_paths)
 _POOL_PACK = 8
 
+# per-scene measured path rate (render_regen_host probe results), so
+# repeat renders of one scene skip the probe's fragmented chunk schedule
+_RATE_CACHE: dict = {}
+
 
 def _render_regen_tile(scene: Scene, seed, spp: int, pix0, tile_pix: int,
                        store_paths: bool = False, samp0=0,
@@ -473,8 +477,22 @@ def render_regen_host(scene: Scene, seed, spp: int,
     seed_u = jnp.asarray(seed, jnp.uint32)
     c0 = min(spp, max(1, PROBE_PATHS // tile_pix), cap_spp)
     c0 = 1 << (c0.bit_length() - 1)
-    c_eff = c0
-    timed = False
+    # per-scene measured path rate, cached across calls (keyed by the
+    # geometry buffer identity — stable for a loaded Scene object): the
+    # SECOND render of a scene skips the probe entirely, so its first
+    # tile runs full-size chunks instead of the probe's fragmented
+    # 2xc0 + powers-of-two split (the fragmentation costs a drain tail
+    # per extra execution)
+    rate_key = (id(scene.vertices), scene.n_tris, scene.integrator,
+                scene.max_depth, tile_pix)
+    rate = _RATE_CACHE.get(rate_key)
+    if rate is not None:
+        cm = max(c0, min(int(TARGET_EXEC_S * rate // tile_pix), cap_spp))
+        c_eff = 1 << (cm.bit_length() - 1)
+        timed = True
+    else:
+        c_eff = c0
+        timed = False
     n_exec = 0
     film = np.zeros((n_tiles * tile_pix, 4), np.float32)
     for t in range(n_tiles):
@@ -496,6 +514,7 @@ def render_regen_host(scene: Scene, seed, spp: int,
             if not timed and n_exec == 2 and c == c0:
                 # execution-only estimate (exec 1 may have compiled)
                 rate = tile_pix * c / max(dt, 1e-3)
+                _RATE_CACHE[rate_key] = rate
                 cm = max(c0, min(int(TARGET_EXEC_S * rate // tile_pix),
                                  cap_spp))
                 c_eff = 1 << (cm.bit_length() - 1)

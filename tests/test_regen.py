@@ -158,3 +158,35 @@ def test_host_schedule_matches_device(monkeypatch):
     np.testing.assert_allclose(got2, ref2, rtol=1e-5, atol=1e-6)
     monkeypatch.undo()
     regen.render_regen._clear_cache()
+
+
+def test_rate_cached_schedule_matches_probed():
+    """render_regen_host caches the probe-measured path rate per scene
+    (round 5): the SECOND render of a scene runs full-size chunks from
+    its first execution.  Any chunk partition walks bit-identical
+    per-sample estimates (counter RNG), so probed and cached schedules
+    agree up to float summation order."""
+    import numpy as np
+
+    import liverrenderer_tpu as lr
+    from liverrenderer_tpu.integrators import regen
+
+    d = lr.cornell_box()
+    d["integrator"] = {"type": "path", "max_depth": 4}
+    d["sensor"]["film"] = {"type": "hdrfilm", "width": 32, "height": 32,
+                           "rfilter": {"type": "box"}}
+    sc = lr.load_dict(d)
+    old = regen.SINGLE_EXEC_PATHS, regen.PROBE_PATHS
+    try:
+        regen.SINGLE_EXEC_PATHS = 1          # force the chunked path
+        regen.PROBE_PATHS = 32 * 32 * 4
+        regen._RATE_CACHE.clear()
+        a = np.asarray(regen.render_regen_host(sc, 3, 16))
+        assert regen._RATE_CACHE, "probe did not cache a rate"
+        b = np.asarray(regen.render_regen_host(sc, 3, 16))
+        ref = np.asarray(regen.render_regen(sc, 3, 16))
+    finally:
+        regen.SINGLE_EXEC_PATHS, regen.PROBE_PATHS = old
+        regen._RATE_CACHE.clear()
+    assert np.abs(a - b).max() < 1e-4
+    assert np.abs(b - ref).max() < 1e-4
