@@ -1866,6 +1866,14 @@ def _group_instanceable(group: dict) -> bool:
                 if k == "emitter" or (isinstance(v, dict)
                                       and v.get("type") == "area"):
                     return False
+                # subsurface children need per-vertex poly fits over the
+                # GLOBAL vertex stream (ssub/preprocess.py) — group-local
+                # template geometry has no global prim range, so BSSRDF
+                # groups replicate (flatten) instead
+                if k == "subsurface" or (isinstance(v, dict)
+                                         and v.get("type")
+                                         in ("vaescatter", "dipole")):
+                    return False
     return True
 
 
