@@ -192,17 +192,23 @@ def main():
         # 256-spp wall measured under different thermal/tunnel conditions
         # overstated the adjoint ratio by up to ~0.6x in round 3
         np.asarray(lr.render(sc_hd, spp=16, seed=0))
-        t0 = time.perf_counter()
-        np.asarray(lr.render(sc_hd, spp=16, seed=1))
-        dt_hd16 = time.perf_counter() - t0
         lhd, ghd, _ = lr.render_grad(sc_hd, hd_params, loss_fn, spp=16,
                                      seed=0)
         np.asarray(ghd["media.params"])
-        t0 = time.perf_counter()
-        lhd, ghd, _ = lr.render_grad(sc_hd, hd_params, loss_fn, spp=16,
-                                     seed=1)
-        np.asarray(ghd["media.params"])
-        dt_hdg = time.perf_counter() - t0
+        # best-of-2 for BOTH numerator and denominator: a single rep of
+        # each swings the ratio +-10% with tunnel/thermal drift
+        t16, tg = [], []
+        for i in (1, 2):
+            t0 = time.perf_counter()
+            np.asarray(lr.render(sc_hd, spp=16, seed=i))
+            t16.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            lhd, ghd, _ = lr.render_grad(sc_hd, hd_params, loss_fn, spp=16,
+                                         seed=i)
+            np.asarray(ghd["media.params"])
+            tg.append(time.perf_counter() - t0)
+        dt_hd16 = min(t16)
+        dt_hdg = min(tg)
         extra["hd_1080p_fwdbwd_16spp"] = {
             "wall_s": round(dt_hdg, 2),
             "fwdbwd_paths_per_s": round(1920 * 1080 * 16 / dt_hdg),
